@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark driver: forward sphere-tracing throughput on the CSG scene.
+
+Workload = the reference's de-facto benchmark (Program.fs:14-100 semantics):
+the 1000-random-tori CSG scene at 1024x1024 with 2 lights, epsilon 0.01,
+ray budget 30 — rendered with the jitted TPU pipeline.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_per_chip_fwd", "value": N, "unit": "rays/s",
+   "vs_baseline": N}
+vs_baseline is measured against the 1e9 rays/s/chip target in BASELINE.md
+(the reference itself publishes no numbers).  Extra context fields are
+included in the same object.
+
+Usage: python bench.py [--size 1024] [--tori 1000] [--quick]
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_RAYS_PER_SEC = 1.0e9  # BASELINE.md target (no published reference num)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--tori", type=int, default=1000)
+    ap.add_argument("--quick", action="store_true",
+                    help="256x256, 100 tori (CI smoke)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-bwd", action="store_true",
+                    help="skip the fwd+bwd timing")
+    args = ap.parse_args()
+    if args.quick:
+        args.size, args.tori = 256, 100
+
+    import fraytracer_tpu as ft
+    from fraytracer_tpu.scene.generators import torus_csg_scene
+    from fraytracer_tpu.ops import shade
+    from fraytracer_tpu.ops.march import MarchConfig
+
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=args.tori))
+    camera = ft.look_at((0.0, 0.0, -10.0), (0.0, 0.0, 0.0), fov_degrees=60.0)
+    cfg = ft.RenderConfig(width=args.size, height=args.size,
+                          epsilon=0.01, length=30.0,
+                          march=MarchConfig(max_steps=192, bound_skip=True))
+
+    render = jax.jit(lambda s, c: ft.render(s, c, cfg))
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    img = render(scene, camera)
+    img.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        img = render(scene, camera)
+        img.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    fwd_s = min(times)
+
+    # Count rays actually marched: primary (every pixel) + one shadow ray
+    # per light per facing hit (reference's <=3 traces/px, SURVEY.md §3.1).
+    @jax.jit
+    def count_rays(s, c):
+        rays = ft.camera_rays(c, cfg.width, cfg.height, cfg.epsilon,
+                              cfg.length)
+        hit = ft.surface_hit(s, rays, cfg.march)
+        n = jnp.float32(cfg.width * cfg.height)
+        for i in range(s.num_lights):
+            ldir, _budget, _scale = shade.light_dir_and_dist(s, i,
+                                                             hit.position)
+            facing = hit.hit & (jnp.sum(hit.normal * ldir, -1) > 0.0)
+            n = n + jnp.sum(facing.astype(jnp.float32))
+        return n
+
+    n_rays = float(count_rays(scene, camera))
+    rays_per_sec = n_rays / fwd_s
+
+    result = {
+        "metric": "rays_per_sec_per_chip_fwd",
+        "value": rays_per_sec,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_sec / TARGET_RAYS_PER_SEC,
+        "image_size": args.size,
+        "n_tori": args.tori,
+        "n_rays": n_rays,
+        "fwd_time_s": fwd_s,
+        "compile_time_s": round(compile_s, 2),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+    if not args.no_bwd:
+        # fwd+bwd wall time: grad of L2-vs-zero image loss w.r.t. all scene
+        # params (the BASELINE "fwd+bwd time for 1024x1024 CSG scene").
+        @jax.jit
+        def fwd_bwd(s, c):
+            def loss(s):
+                return jnp.sum(ft.render(s, c, cfg) ** 2)
+            return jax.grad(loss)(s)
+
+        g = fwd_bwd(scene, camera)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        g = fwd_bwd(scene, camera)
+        jax.block_until_ready(g)
+        result["fwd_bwd_time_s"] = time.perf_counter() - t0
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

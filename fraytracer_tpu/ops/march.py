@@ -1,0 +1,123 @@
+"""Sphere tracing (the hot loop) as a batched, masked JAX march.
+
+TPU-native replacement for the reference's tail-recursive per-ray trace
+(``SdfForm.tryTrace``, SdfForm.fs:93-104): all rays march in lockstep inside
+one ``lax.while_loop``; per-lane ``active`` masks replace recursion/early
+return.  Termination semantics match the reference exactly:
+
+* miss when the remaining travel budget ``length`` is exhausted
+  (checked *before* the SDF eval, as in SdfForm.fs:94-95),
+* hit when the scene distance drops below ``epsilon`` (SdfForm.fs:98),
+* otherwise step forward by the SDF value (SdfForm.fs:104).
+
+**Differentiability** (SURVEY.md §7 stage 4): the loop itself runs under
+``stop_gradient``; gradients of the hit distance ``t*`` w.r.t. ray origin,
+direction and all scene parameters are reattached by implicit
+differentiation of ``f(o + t·d, θ) = const`` at the converged point:
+
+    dt/dθ = -(∂f/∂θ) / (∇f·d),   dt/do = -∇f / (∇f·d),
+    dt/dd = -t (∇f) / (∇f·d)
+
+implemented as the reparameterization ``t = t₀ - (f(x₀,θ) - sg f(x₀,θ)) /
+sg(∇f·d)`` — no backprop through march iterations, O(1) memory.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.flatten import FlatScene
+from ..types import MarchResult, Rays, dot
+from . import sdf
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class MarchConfig:
+    """Static march configuration (jit cache key material).
+
+    ``max_steps`` bounds the while_loop (the reference has no cap — its loop
+    is bounded only by the budget; the cap is a TPU safety net and in
+    practice never binds at default ``epsilon``).  ``bound_skip`` fast-
+    forwards rays to the scene's root bounding sphere before marching — the
+    TPU analog of the reference's boundary ray tests
+    (``SdfBoundary.fs:152-201``).  ``min_denom`` guards the implicit-diff
+    denominator at grazing hits.
+    """
+
+    max_steps: int = 192
+    bound_skip: bool = True
+    min_denom: float = 0.05
+
+
+def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
+    """Non-differentiable masked march (runs under stop_gradient)."""
+    batch = rays.batch_shape
+    t0 = jnp.zeros(batch, jnp.float32)
+    miss0 = jnp.zeros(batch, jnp.bool_)
+
+    if cfg.bound_skip:
+        # Advance to the root bounding sphere entry point (conservative:
+        # back off by epsilon); rays that miss the sphere are misses.
+        bound = sdf.root_bound(scene)
+        oc = rays.origin - bound[0:3]
+        b = dot(oc, rays.direction)
+        c = dot(oc, oc) - bound[3] * bound[3]
+        disc = b * b - c
+        outside = c > 0.0
+        no_hit = outside & ((disc < 0.0) | (b > 0.0))
+        enter = jnp.maximum(-b - jnp.sqrt(jnp.maximum(disc, 0.0))
+                            - rays.epsilon, 0.0)
+        t0 = jnp.where(outside & ~no_hit, enter, 0.0)
+        miss0 = no_hit
+
+    def cond(state):
+        _t, active, _hit, _d, steps = state
+        return jnp.any(active) & (steps < cfg.max_steps)
+
+    def body(state):
+        t, active, hit, d_prev, steps = state
+        p = rays.at(t)
+        d = sdf.scene_distance(scene, p)
+        is_hit = active & (d < rays.epsilon)
+        hit = hit | is_hit
+        # step forward only on still-active, non-hit lanes
+        step = jnp.where(active & ~is_hit, d, 0.0)
+        t_new = t + step
+        # budget check happens before the *next* eval (SdfForm.fs:94)
+        exhausted = t_new >= rays.length
+        active = active & ~is_hit & ~exhausted
+        d_out = jnp.where(active | is_hit, d, d_prev)
+        return t_new, active, hit, d_out, steps + 1
+
+    active0 = (rays.length > 0.0) & ~miss0 & (t0 < rays.length)
+    init = (t0, active0, jnp.zeros(batch, jnp.bool_),
+            jnp.full(batch, jnp.float32(sdf._BIG)), jnp.int32(0))
+    t, _active, hit, d, steps = jax.lax.while_loop(cond, body, init)
+    return MarchResult(hit=hit, t=t, distance=d,
+                       steps=jnp.broadcast_to(steps, batch))
+
+
+def march(scene: FlatScene, rays: Rays,
+          cfg: MarchConfig = MarchConfig()) -> MarchResult:
+    """Sphere-trace ``rays`` against ``scene``; ``t`` is differentiable at
+    hits via implicit differentiation (see module docstring)."""
+    sg = jax.lax.stop_gradient
+    raw = _march_raw(sg(scene), sg(rays), cfg)
+
+    t0 = raw.t  # already gradient-free
+    x0 = rays.origin + t0[..., None] * rays.direction  # diff wrt o, d
+    fval = sdf.scene_distance(scene, x0)
+    gradx = sg(jax.grad(lambda q: jnp.sum(
+        sdf.scene_distance(sg(scene), q)))(x0))
+    denom = dot(gradx, sg(rays.direction))
+    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), cfg.min_denom)
+    denom = jnp.where(denom == 0.0, cfg.min_denom, denom)
+
+    t_diff = t0 - (fval - sg(fval)) / denom
+    t = jnp.where(raw.hit, t_diff, t0)
+    return MarchResult(hit=raw.hit, t=t, distance=raw.distance,
+                       steps=raw.steps)

@@ -1,0 +1,109 @@
+"""Lambert + hard-shadow integrator over batched hits.
+
+Vectorized re-expression of the reference's scene integrator
+(``SdfScene.trace``, SdfScene.fs:7-28) and light closures (``SdfLight.fs``):
+
+* miss → background color,
+* hit  → ``albedo · (background + Σ_lights 1[facing ∧ unoccluded] · I · cosθ)
+  / π`` — background doubles as the ambient term (SdfScene.fs:12),
+* directional light: unoccluded intensity = color, shadow-ray budget
+  ``shadow_length`` (the reference's hardcoded 1000, SdfLight.fs:14),
+* point light: intensity = color / dist², shadow-ray budget = distance
+  (SdfLight.fs:23-42).  The reference's non-unit shadow direction bug
+  (SdfLight.fs:30) is fixed: shadow rays use unit directions.
+
+Shadow rays are batched per light (the light loop unrolls — light count and
+kinds are static) so each light costs exactly one extra masked march over
+the whole pixel batch, mirroring the ≤3-traces-per-pixel structure of the
+reference workload (SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.flatten import FlatScene
+from ..scene.nodes import LIGHT_DIRECTIONAL, LIGHT_POINT
+from ..types import Rays, SurfaceHit, dot, normalize
+from . import sdf
+from .march import MarchConfig, march
+
+Array = jax.Array
+
+
+def surface_hit(scene: FlatScene, rays: Rays,
+                cfg: MarchConfig = MarchConfig()) -> SurfaceHit:
+    """March + assemble shading-ready hit info (reference
+    ``SdfObject.tryTrace``, SdfObject.fs:66-78): position backed off by
+    epsilon along the ray, analytic unit normal there, and the winning
+    material's albedo (argmin semantics of SdfObject.fs:26-46)."""
+    res = march(scene, rays, cfg)
+    # Back off by epsilon (Ray.move -epsilon, SdfObject.fs:73): shading and
+    # normal are evaluated at the backed-off point, like the reference's
+    # normalFromRay (SdfForm.fs:114-115).
+    pos = rays.at(res.t - rays.epsilon)
+    normal = sdf.scene_normal(scene, pos)
+    midx, albedo = sdf.material_at(scene, pos)
+    midx = jnp.where(res.hit, midx, -1)
+    return SurfaceHit(hit=res.hit, position=pos, normal=normal,
+                      color=albedo, material=midx, t=res.t)
+
+
+def light_dir_and_dist(scene: FlatScene, i: int, pos: Array):
+    """Unit direction from ``pos`` toward light ``i`` and the shadow budget.
+    Returns (dir [...,3], budget [...], intensity_scale [...])."""
+    kind = scene.light_kind[i]
+    vec = scene.light_vec[i]
+    if kind == LIGHT_DIRECTIONAL:
+        d = -vec / jnp.sqrt(jnp.maximum(jnp.sum(vec * vec), 1e-20))
+        ldir = jnp.broadcast_to(d, pos.shape)
+        budget = jnp.broadcast_to(scene.light_shadow_len[i], pos.shape[:-1])
+        scale = jnp.ones(pos.shape[:-1], jnp.float32)
+        return ldir, budget, scale
+    if kind == LIGHT_POINT:
+        diff = vec - pos
+        dist2 = jnp.maximum(dot(diff, diff), 1e-12)
+        dist = jnp.sqrt(dist2)
+        return diff / dist[..., None], dist, 1.0 / dist2
+    raise ValueError(f"bad light kind {kind}")
+
+
+def shade(scene: FlatScene, rays: Rays, hit: SurfaceHit,
+          cfg: MarchConfig = MarchConfig()) -> Array:
+    """Shade a batch of surface hits → linear RGB ``[..., 3]``."""
+    light_acc = jnp.broadcast_to(scene.background, hit.position.shape)
+
+    for i in range(scene.num_lights):
+        ldir, budget, scale = light_dir_and_dist(scene, i, hit.position)
+        cos = dot(hit.normal, ldir)
+        facing = hit.hit & (cos > 0.0)
+        shadow_rays = Rays(
+            origin=hit.position,
+            direction=ldir,
+            # only march facing lanes: zero budget de-activates the rest
+            length=jnp.where(facing, budget, 0.0),
+            epsilon=rays.epsilon,
+        )
+        occluded = march(scene, shadow_rays, cfg).hit
+        contrib = (scene.light_color[i] * scale[..., None]
+                   * cos[..., None])
+        light_acc = light_acc + jnp.where(
+            (facing & ~occluded)[..., None], contrib, 0.0)
+
+    lit = hit.color * light_acc * jnp.float32(1.0 / math.pi)
+    # add emission (wavefront/spectral materials; zero for plain solids)
+    emission = jnp.where(hit.material[..., None] >= 0,
+                         scene.mat_emission[jnp.maximum(hit.material, 0)],
+                         0.0)
+    shaded = lit + emission
+    return jnp.where(hit.hit[..., None], shaded, scene.background)
+
+
+def trace(scene: FlatScene, rays: Rays,
+          cfg: MarchConfig = MarchConfig()) -> Array:
+    """Full primary trace: march → surface info → shade.  The batched
+    equivalent of ``SdfScene.trace scene ray`` (SdfScene.fs:7-28)."""
+    hit = surface_hit(scene, rays, cfg)
+    return shade(scene, rays, hit, cfg)

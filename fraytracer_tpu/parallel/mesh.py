@@ -1,0 +1,126 @@
+"""Multi-chip execution: ray/pixel data parallelism over a device mesh.
+
+TPU-native replacement for the reference's entire parallelism story — a
+shared-memory thread pool over image rows (``Array2D.Parallel.init``,
+Array2D.fs:29-38; SURVEY.md §2c).  Here the image is sharded over mesh
+devices with ``shard_map`` (rows → the ``'rays'`` axis), the scene pytree is
+replicated, and the only cross-chip communication is
+
+* an ``all-reduce max`` for the auto-exposure tone map (the one real sync
+  point of the pipeline, SURVEY.md §3.3), and
+* a gradient ``psum`` over ICI in the inverse-rendering training step
+  (scene parameters are replicated, so their grads are all-reduced).
+
+Multi-host runs use the same code path: ``jax.distributed.initialize()``
+first, then these functions see the global device set.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import camera as cam
+from ..ops import shade
+from ..ops.march import MarchConfig
+from ..render import RenderConfig
+from ..scene.flatten import FlatScene
+from ..types import Rays
+
+Array = jax.Array
+
+AXIS = "rays"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D mesh over (the first n) visible devices, axis name 'rays'."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (AXIS,))
+
+
+def _shard_rows(mesh: Mesh, height: int) -> None:
+    n = mesh.shape[AXIS]
+    if height % n != 0:
+        raise ValueError(
+            f"image height {height} must divide by mesh size {n}")
+
+
+def render_sharded(scene: FlatScene, camera: cam.Camera,
+                   cfg: RenderConfig, mesh: Mesh) -> Array:
+    """Full-frame render with image rows sharded over the mesh.
+
+    Scene + camera are replicated; each device traces its row block
+    independently (embarrassingly parallel, like the reference's row loop —
+    but across chips over ICI instead of threads).
+    """
+    _shard_rows(mesh, cfg.height)
+
+    def local_render(scene: FlatScene, rays: Rays) -> Array:
+        return shade.trace(scene, rays, cfg.march)
+
+    rays = cam.camera_rays(camera, cfg.width, cfg.height,
+                           cfg.epsilon, cfg.length)
+    fn = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)(scene, rays)
+
+
+def exposure_max_sharded(image: Array, mesh: Mesh) -> Array:
+    """Global auto-exposure max across shards: one all-reduce max
+    (Image.fs:40-43 cross-chip)."""
+    def local_max(img):
+        return jax.lax.pmax(jnp.max(img), AXIS)
+
+    fn = jax.shard_map(local_max, mesh=mesh, in_specs=(P(AXIS),),
+                       out_specs=P(), check_vma=False)
+    return jax.jit(fn)(image)
+
+
+def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
+    """Build the sharded inverse-rendering training step (BASELINE config 5).
+
+    Each step: render the current scene (rows sharded) → local L2 loss vs
+    the target shard → grads w.r.t. every scene parameter → ``psum`` over
+    ICI → SGD update on the replicated scene.  Returns a jitted function
+    ``step(scene, camera, target) -> (scene', loss)``.
+    """
+
+    def local_fn(scene: FlatScene, rays: Rays, target: Array):
+        def loss_fn(s: FlatScene):
+            img = shade.trace(s, rays, cfg.march)
+            return jnp.sum((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(scene)
+        loss = jax.lax.psum(loss, AXIS)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, AXIS) if jnp.issubdtype(
+                g.dtype, jnp.floating) else g, grads)
+        new_scene = jax.tree.map(
+            lambda p, g: p - lr * g if jnp.issubdtype(
+                p.dtype, jnp.floating) else p, scene, grads)
+        return new_scene, loss
+
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(scene: FlatScene, camera: cam.Camera, target: Array):
+        _shard_rows(mesh, cfg.height)
+        rays = cam.camera_rays(camera, cfg.width, cfg.height,
+                               cfg.epsilon, cfg.length)
+        return sharded(scene, rays, target)
+
+    return step

@@ -1,0 +1,151 @@
+"""Differentiability tests (SURVEY.md §4.4): implicit-diff march gradients
+vs finite differences, and end-to-end pixel gradients w.r.t. scene params."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import fraytracer_tpu as ft
+from fraytracer_tpu.ops.march import MarchConfig, march
+
+CFG = MarchConfig(bound_skip=False, max_steps=256)
+
+
+def sphere_scene(radius=1.0, cz=0.0):
+    return ft.flatten(ft.Scene(
+        root=ft.sphere((0.0, 0.0, cz), radius, material=ft.solid(1, 1, 1)),
+        background=(0.1, 0.1, 0.1),
+        lights=(ft.directional_light((0, 0, 1), (1.0, 1.0, 1.0)),),
+    ))
+
+
+def test_dt_dradius_matches_analytic():
+    """Head-on ray onto a sphere: t* = |o - c| - r ⇒ dt*/dr = -1."""
+    rays = ft.make_rays([0, 0, -5.0], [0, 0, 1.0], 100.0, 1e-4)
+
+    def t_of_radius(r):
+        scene = sphere_scene()
+        scene = scene.replace(prim_params={
+            "sphere": scene.prim_params["sphere"].at[0, 3].set(r)})
+        return march(scene, rays, CFG).t
+
+    g = jax.grad(lambda r: jnp.sum(t_of_radius(r)))(jnp.float32(1.0))
+    np.testing.assert_allclose(float(g), -1.0, atol=1e-3)
+
+
+def test_dt_dcenter_matches_analytic():
+    """dt*/dcz = +1 for a head-on ray marching in +z (moving the sphere
+    away moves the hit farther)."""
+    rays = ft.make_rays([0, 0, -5.0], [0, 0, 1.0], 100.0, 1e-4)
+
+    def t_of_cz(cz):
+        scene = sphere_scene()
+        scene = scene.replace(prim_params={
+            "sphere": scene.prim_params["sphere"].at[0, 2].set(cz)})
+        return march(scene, rays, CFG).t
+
+    g = jax.grad(lambda c: jnp.sum(t_of_cz(c)))(jnp.float32(0.0))
+    np.testing.assert_allclose(float(g), 1.0, atol=1e-3)
+
+
+def test_dt_dorigin_and_direction():
+    """dt/doz = -1/(d·n) = -1 head-on; oblique rays via FD."""
+    def t_of(oz):
+        rays = ft.make_rays(jnp.stack([jnp.float32(0), jnp.float32(0), oz]),
+                            [0, 0, 1.0], 100.0, 1e-4)
+        return march(sphere_scene(), rays, CFG).t
+
+    g = jax.grad(t_of)(jnp.float32(-5.0))
+    np.testing.assert_allclose(float(g), -1.0, atol=1e-3)
+
+
+def test_grad_vs_finite_difference_offaxis(rng):
+    """Implicit-diff grads match central finite differences for an
+    off-axis ray on a CSG scene."""
+    base = np.float32(0.8)
+    rays = ft.make_rays([0.3, 0.2, -4.0],
+                        np.array([0.05, -0.03, 1.0]) / np.linalg.norm(
+                            [0.05, -0.03, 1.0]),
+                        100.0, 1e-4)
+
+    def t_of_r(r):
+        s = ft.Scene(root=ft.subtract(
+            ft.sphere((0, 0, 0), 1.2, material=ft.solid(1, 1, 1)),
+            ft.sphere((0.5, 0.3, -0.8), 0.6)))
+        flat = ft.flatten(s)
+        flat = flat.replace(prim_params={
+            "sphere": flat.prim_params["sphere"].at[0, 3].set(r)})
+        return march(flat, rays, CFG).t
+
+    g = jax.grad(lambda r: jnp.sum(t_of_r(r)))(jnp.float32(base))
+    h = 1e-3
+    fd = (float(t_of_r(jnp.float32(base + h)))
+          - float(t_of_r(jnp.float32(base - h)))) / (2 * h)
+    np.testing.assert_allclose(float(g), fd, rtol=0.05, atol=5e-3)
+
+
+def test_pixel_gradient_flows_to_all_param_groups():
+    """End-to-end: d(image)/d(everything) is finite and nonzero for
+    geometry, materials, lights and background."""
+    scene = ft.flatten(ft.Scene(
+        root=ft.union(
+            ft.sphere((0, 0, 0), 1.0, material=ft.solid(0.8, 0.2, 0.2)),
+            ft.box((1.2, 0, 0), (0.4, 0.4, 0.4), 0.05,
+                   material=ft.solid(0.2, 0.8, 0.2)),
+        ),
+        background=(0.1, 0.1, 0.1),
+        lights=(ft.directional_light((-0.5, -1, 1), (0.5, 0.5, 0.5)),
+                ft.point_light((0, 2, -3), (5.0, 5.0, 5.0))),
+    ))
+    camera = ft.look_at((0, 0, -6), (0, 0, 0))
+    cfg = ft.RenderConfig(width=24, height=24, epsilon=0.01, length=30.0,
+                          march=MarchConfig(max_steps=128))
+
+    def loss(s):
+        img = ft.render(s, camera, cfg)
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss)(scene)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    assert float(jnp.sum(jnp.abs(g.prim_params["sphere"]))) > 0
+    assert float(jnp.sum(jnp.abs(g.prim_params["box"]))) > 0
+    assert float(jnp.sum(jnp.abs(g.mat_albedo))) > 0
+    assert float(jnp.sum(jnp.abs(g.light_color))) > 0
+    assert float(jnp.sum(jnp.abs(g.background))) > 0
+
+
+def test_inverse_rendering_descends():
+    """BASELINE config 5 (miniature): gradient descent on sphere radius
+    recovers the target radius."""
+    camera = ft.look_at((0, 0, -5), (0, 0, 0))
+    cfg = ft.RenderConfig(width=24, height=24, epsilon=0.01, length=20.0,
+                          march=MarchConfig(max_steps=128))
+
+    def make(r):
+        flat = sphere_scene()
+        return flat.replace(prim_params={
+            "sphere": flat.prim_params["sphere"].at[0, 3].set(r)})
+
+    target = ft.render(make(jnp.float32(1.0)), camera, cfg)
+
+    @jax.jit
+    def step(r):
+        def loss(r):
+            img = ft.render(make(r), camera, cfg)
+            return jnp.mean((img - target) ** 2)
+        l, g = jax.value_and_grad(loss)(r)
+        return r - 2.0 * g, l
+
+    r = jnp.float32(0.7)
+    l0 = None
+    for i in range(40):
+        r, l = step(r)
+        if l0 is None:
+            l0 = float(l)
+    # Interior-shading gradients drive r steadily toward the target (the
+    # silhouette coverage term is inherently non-differentiable, so
+    # convergence is asymptotic, not exact).
+    assert float(l) < 0.7 * l0
+    assert 0.78 < float(r) < 1.1
+

@@ -1,0 +1,89 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4.5):
+sharded render == single-device render; gradient psum training step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fraytracer_tpu as ft
+from fraytracer_tpu.ops.march import MarchConfig
+from fraytracer_tpu.parallel.mesh import (exposure_max_sharded, make_mesh,
+                                          make_train_step, render_sharded)
+from fraytracer_tpu.scene.generators import torus_csg_scene
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = ft.RenderConfig(width=16, height=32, epsilon=0.02, length=30.0,
+                      march=MarchConfig(max_steps=64))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return ft.flatten(torus_csg_scene(seed=19, n_tori=24))
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return ft.look_at((0, 0, -10), (0, 0, 0), fov_degrees=60.0)
+
+
+def test_sharded_render_matches_single(scene, camera):
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene, camera, CFG, mesh))
+    single = np.asarray(ft.render(scene, camera, CFG))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_render_various_mesh_sizes(scene, camera):
+    for n in (1, 2, 4):
+        mesh = make_mesh(n)
+        out = np.asarray(render_sharded(scene, camera, CFG, mesh))
+        assert out.shape == (32, 16, 3)
+
+
+def test_rows_must_divide(scene, camera):
+    mesh = make_mesh(8)
+    bad = ft.RenderConfig(width=16, height=30, epsilon=0.02, length=30.0)
+    with pytest.raises(ValueError):
+        render_sharded(scene, camera, bad, mesh)
+
+
+def test_exposure_allreduce_max(scene, camera):
+    mesh = make_mesh(8)
+    img = render_sharded(scene, camera, CFG, mesh)
+    got = float(exposure_max_sharded(img, mesh))
+    want = float(jnp.max(img))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_train_step_decreases_loss_and_stays_replicated(scene, camera):
+    mesh = make_mesh(8)
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    step = make_train_step(CFG, mesh, lr=1e-4)
+    s1, l1 = step(scene, camera, target)
+    s2, l2 = step(s1, camera, target)
+    assert float(l2) < float(l1)
+    assert bool(jnp.all(jnp.isfinite(l2)))
+    # updated scene params differ from the originals (grads flowed)
+    assert float(jnp.sum(jnp.abs(
+        s1.mat_albedo - scene.mat_albedo))) > 0
+
+
+def test_train_step_matches_single_device(scene, camera):
+    """Sharded psum-gradient step == single-device step (same math)."""
+    mesh = make_mesh(8)
+    target = jnp.full((CFG.height, CFG.width, 3), 0.05, jnp.float32)
+    lr = 1e-4
+    step = make_train_step(CFG, mesh, lr=lr)
+    s_sharded, l_sharded = step(scene, camera, target)
+
+    def loss_fn(s):
+        img = ft.render(s, camera, CFG)
+        return jnp.sum((img - target) ** 2)
+
+    l_single, g = jax.value_and_grad(loss_fn)(scene)
+    np.testing.assert_allclose(float(l_sharded), float(l_single), rtol=1e-4)
+    want_albedo = scene.mat_albedo - lr * g.mat_albedo
+    np.testing.assert_allclose(np.asarray(s_sharded.mat_albedo),
+                               np.asarray(want_albedo), atol=1e-5)
