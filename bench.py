@@ -19,6 +19,10 @@ import json
 import sys
 import time
 
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,38 +54,58 @@ def main() -> int:
                           epsilon=0.01, length=30.0,
                           march=MarchConfig(max_steps=192, bound_skip=True))
 
-    render = jax.jit(lambda s, c: ft.render(s, c, cfg))
+    # The render returns the image plus a scalar checksum; timing fetches
+    # the checksum to host.  block_until_ready alone is not a reliable
+    # completion barrier on remote-tunneled backends, so the timed region
+    # includes one scalar device→host readback (negligible vs the render).
+    render = jax.jit(
+        lambda s, c: (lambda img: (img, jnp.sum(img)))(ft.render(s, c, cfg)))
 
     # warmup / compile
+    log(f"compiling fwd render {args.size}x{args.size}, {args.tori} tori "
+        f"on {jax.default_backend()}...")
     t0 = time.perf_counter()
-    img = render(scene, camera)
-    img.block_until_ready()
+    img, checksum = render(scene, camera)
+    float(checksum)
     compile_s = time.perf_counter() - t0
+    log(f"fwd compile {compile_s:.1f}s")
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        img = render(scene, camera)
-        img.block_until_ready()
+        img, checksum = render(scene, camera)
+        float(checksum)
         times.append(time.perf_counter() - t0)
+        log(f"fwd repeat {times[-1]*1e3:.1f}ms")
     fwd_s = min(times)
 
     # Count rays actually marched: primary (every pixel) + one shadow ray
     # per light per facing hit (reference's <=3 traces/px, SURVEY.md §3.1).
+    # Tiled like the render so the [tile, K] temporaries stay bounded.
+    tile = min(cfg.tile_rays or 65536, cfg.width * cfg.height)
+
     @jax.jit
     def count_rays(s, c):
         rays = ft.camera_rays(c, cfg.width, cfg.height, cfg.epsilon,
                               cfg.length)
-        hit = ft.surface_hit(s, rays, cfg.march)
-        n = jnp.float32(cfg.width * cfg.height)
-        for i in range(s.num_lights):
-            ldir, _budget, _scale = shade.light_dir_and_dist(s, i,
-                                                             hit.position)
-            facing = hit.hit & (jnp.sum(hit.normal * ldir, -1) > 0.0)
-            n = n + jnp.sum(facing.astype(jnp.float32))
-        return n
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1, tile) + x.shape[2:]), rays)
 
+        def per_chunk(r):
+            hit = ft.surface_hit(s, r, cfg.march)
+            n = jnp.float32(tile)
+            for i in range(s.num_lights):
+                ldir, _budget, _scale = shade.light_dir_and_dist(
+                    s, i, hit.position)
+                facing = hit.hit & (jnp.sum(hit.normal * ldir, -1) > 0.0)
+                n = n + jnp.sum(facing.astype(jnp.float32))
+            return n
+
+        return jnp.sum(jax.lax.map(per_chunk, flat))
+
+    log("counting rays...")
     n_rays = float(count_rays(scene, camera))
+    log(f"n_rays={n_rays:.0f}, fwd={fwd_s*1e3:.1f}ms")
     rays_per_sec = n_rays / fwd_s
 
     result = {
@@ -105,14 +129,20 @@ def main() -> int:
         def fwd_bwd(s, c):
             def loss(s):
                 return jnp.sum(ft.render(s, c, cfg) ** 2)
-            return jax.grad(loss)(s)
+            g = jax.grad(loss)(s)
+            # scalar checksum forces a real completion barrier (see above)
+            return g, sum(jnp.sum(jnp.abs(x))
+                          for x in jax.tree.leaves(g.prim_params))
 
-        g = fwd_bwd(scene, camera)
-        jax.block_until_ready(g)
+        log("compiling fwd+bwd...")
+        g, gsum = fwd_bwd(scene, camera)
+        float(gsum)
+        log("fwd+bwd compiled; timing...")
         t0 = time.perf_counter()
-        g = fwd_bwd(scene, camera)
-        jax.block_until_ready(g)
+        g, gsum = fwd_bwd(scene, camera)
+        float(gsum)
         result["fwd_bwd_time_s"] = time.perf_counter() - t0
+        log(f"fwd+bwd {result['fwd_bwd_time_s']:.2f}s")
 
     print(json.dumps(result))
     return 0

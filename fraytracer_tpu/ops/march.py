@@ -53,8 +53,14 @@ class MarchConfig:
     min_denom: float = 0.05
 
 
-def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
-    """Non-differentiable masked march (runs under stop_gradient)."""
+def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
+               sign: Array | None = None) -> MarchResult:
+    """Non-differentiable masked march (runs under stop_gradient).
+
+    ``sign`` (per-lane ±1) multiplies the scene distance: −1 marches rays
+    *inside* the solid toward the exit surface (needed for refraction
+    transmission in the wavefront integrator); default +1 everywhere.
+    """
     batch = rays.batch_shape
     t0 = jnp.zeros(batch, jnp.float32)
     miss0 = jnp.zeros(batch, jnp.bool_)
@@ -62,6 +68,8 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
     if cfg.bound_skip:
         # Advance to the root bounding sphere entry point (conservative:
         # back off by epsilon); rays that miss the sphere are misses.
+        # Inside-marching lanes (sign < 0) are already within the bound and
+        # are left untouched.
         bound = sdf.root_bound(scene)
         oc = rays.origin - bound[0:3]
         b = dot(oc, rays.direction)
@@ -71,6 +79,10 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
         no_hit = outside & ((disc < 0.0) | (b > 0.0))
         enter = jnp.maximum(-b - jnp.sqrt(jnp.maximum(disc, 0.0))
                             - rays.epsilon, 0.0)
+        if sign is not None:
+            outward = sign > 0.0
+            outside = outside & outward
+            no_hit = no_hit & outward
         t0 = jnp.where(outside & ~no_hit, enter, 0.0)
         miss0 = no_hit
 
@@ -82,6 +94,8 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
         t, active, hit, d_prev, steps = state
         p = rays.at(t)
         d = sdf.scene_distance(scene, p)
+        if sign is not None:
+            d = sign * d
         is_hit = active & (d < rays.epsilon)
         hit = hit | is_hit
         # step forward only on still-active, non-hit lanes
@@ -102,17 +116,24 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig) -> MarchResult:
 
 
 def march(scene: FlatScene, rays: Rays,
-          cfg: MarchConfig = MarchConfig()) -> MarchResult:
+          cfg: MarchConfig = MarchConfig(),
+          sign: Array | None = None) -> MarchResult:
     """Sphere-trace ``rays`` against ``scene``; ``t`` is differentiable at
-    hits via implicit differentiation (see module docstring)."""
+    hits via implicit differentiation (see module docstring).  ``sign=-1``
+    lanes march inside the solid toward the exit surface."""
     sg = jax.lax.stop_gradient
-    raw = _march_raw(sg(scene), sg(rays), cfg)
+    raw = _march_raw(sg(scene), sg(rays), cfg,
+                     None if sign is None else sg(sign))
 
     t0 = raw.t  # already gradient-free
     x0 = rays.origin + t0[..., None] * rays.direction  # diff wrt o, d
     fval = sdf.scene_distance(scene, x0)
+    if sign is not None:
+        fval = sg(sign) * fval
     gradx = sg(jax.grad(lambda q: jnp.sum(
         sdf.scene_distance(sg(scene), q)))(x0))
+    if sign is not None:
+        gradx = sg(sign)[..., None] * gradx
     denom = dot(gradx, sg(rays.direction))
     denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), cfg.min_denom)
     denom = jnp.where(denom == 0.0, cfg.min_denom, denom)
