@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: repeat bench runs skip XLA compilation (the
+# remote TPU compile service adds minutes of latency and jitter).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 TARGET_RAYS_PER_SEC = 1.0e9  # BASELINE.md target (no published reference num)
 
 
@@ -50,9 +55,13 @@ def main() -> int:
 
     scene = ft.flatten(torus_csg_scene(seed=19, n_tori=args.tori))
     camera = ft.look_at((0.0, 0.0, -10.0), (0.0, 0.0, 0.0), fov_degrees=60.0)
+    # the fused Pallas march kernel is the TPU fast path; CPU runs use the
+    # XLA while_loop backend
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     cfg = ft.RenderConfig(width=args.size, height=args.size,
                           epsilon=0.01, length=30.0,
-                          march=MarchConfig(max_steps=192, bound_skip=True))
+                          march=MarchConfig(max_steps=192, bound_skip=True,
+                                            backend=backend))
 
     # The render returns the image plus a scalar checksum; timing fetches
     # the checksum to host.  block_until_ready alone is not a reliable

@@ -51,6 +51,44 @@ class MarchConfig:
     max_steps: int = 192
     bound_skip: bool = True
     min_denom: float = 0.05
+    # march backend: 'jnp' = batched XLA while_loop; 'pallas' = fused TPU
+    # kernel (ops/pallas/march_kernel.py).  'pallas_interpret' runs the
+    # kernel in interpreter mode (CPU correctness tests).
+    backend: str = "jnp"
+    # Per-tile cone culling (pallas backend only): large homogeneous union
+    # groups march against a per-ray-tile candidate list selected by a
+    # conservative cone-vs-bounding-sphere test — the TPU replacement for
+    # the reference's spatial-grid pruning (SdfBoundary.fs:225-282).
+    cull: bool = True
+    cull_m: int = 384           # candidate slots per tile (rounded to 128)
+    cull_threshold: int = 192   # min group size worth culling
+
+
+def bound_skip_start(scene: FlatScene, rays: Rays,
+                     sign: Array | None = None):
+    """Fast-forward rays to the scene's root bounding sphere.
+
+    Returns ``(t0, miss0)``: the start offset along each ray (conservative
+    — backed off by epsilon) and the lanes that provably miss the bound
+    entirely.  Inside-marching lanes (sign < 0) are left untouched.  The
+    TPU analog of the reference's boundary ray tests
+    (SdfBoundary.Sphere.trace, SdfBoundary.fs:152-201).
+    """
+    bound = sdf.root_bound(scene)
+    oc = rays.origin - bound[0:3]
+    b = dot(oc, rays.direction)
+    c = dot(oc, oc) - bound[3] * bound[3]
+    disc = b * b - c
+    outside = c > 0.0
+    no_hit = outside & ((disc < 0.0) | (b > 0.0))
+    enter = jnp.maximum(-b - jnp.sqrt(jnp.maximum(disc, 0.0))
+                        - rays.epsilon, 0.0)
+    if sign is not None:
+        outward = sign > 0.0
+        outside = outside & outward
+        no_hit = no_hit & outward
+    t0 = jnp.where(outside & ~no_hit, enter, 0.0)
+    return t0, no_hit
 
 
 def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
@@ -66,25 +104,7 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     miss0 = jnp.zeros(batch, jnp.bool_)
 
     if cfg.bound_skip:
-        # Advance to the root bounding sphere entry point (conservative:
-        # back off by epsilon); rays that miss the sphere are misses.
-        # Inside-marching lanes (sign < 0) are already within the bound and
-        # are left untouched.
-        bound = sdf.root_bound(scene)
-        oc = rays.origin - bound[0:3]
-        b = dot(oc, rays.direction)
-        c = dot(oc, oc) - bound[3] * bound[3]
-        disc = b * b - c
-        outside = c > 0.0
-        no_hit = outside & ((disc < 0.0) | (b > 0.0))
-        enter = jnp.maximum(-b - jnp.sqrt(jnp.maximum(disc, 0.0))
-                            - rays.epsilon, 0.0)
-        if sign is not None:
-            outward = sign > 0.0
-            outside = outside & outward
-            no_hit = no_hit & outward
-        t0 = jnp.where(outside & ~no_hit, enter, 0.0)
-        miss0 = no_hit
+        t0, miss0 = bound_skip_start(scene, rays, sign)
 
     def cond(state):
         _t, active, _hit, _d, steps = state
@@ -122,8 +142,19 @@ def march(scene: FlatScene, rays: Rays,
     hits via implicit differentiation (see module docstring).  ``sign=-1``
     lanes march inside the solid toward the exit surface."""
     sg = jax.lax.stop_gradient
-    raw = _march_raw(sg(scene), sg(rays), cfg,
-                     None if sign is None else sg(sign))
+    if cfg.backend.startswith("pallas") and sign is None:
+        from .pallas.march_kernel import pallas_march_raw
+        batch = rays.batch_shape
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
+        raw_flat = pallas_march_raw(
+            sg(scene), sg(flat), cfg,
+            interpret=(cfg.backend == "pallas_interpret"))
+        raw = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]),
+                           raw_flat)
+    else:
+        raw = _march_raw(sg(scene), sg(rays), cfg,
+                         None if sign is None else sg(sign))
 
     t0 = raw.t  # already gradient-free
     x0 = rays.origin + t0[..., None] * rays.direction  # diff wrt o, d

@@ -10,10 +10,12 @@ device mesh across chips (``parallel/``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import camera as cam
 from .ops import shade, tonemap
@@ -79,6 +81,22 @@ def _trace_tiled(scene: FlatScene, rays: Rays, march_cfg: MarchConfig,
     return out[:n] if pad else out
 
 
+@functools.lru_cache(maxsize=16)
+def _block_perm(height: int, width: int, b: int = 32):
+    """Pixel permutation into b×b screen blocks (and its inverse).
+
+    The Pallas march culls primitives per 1024-ray tile; tiles of spatially
+    coherent pixels (32×32 blocks) have narrow ray cones → small candidate
+    lists.  Row-major order would make each tile a thin full-width strip
+    with a uselessly wide cone.
+    """
+    idx = np.arange(height * width).reshape(height, width)
+    blocks = (idx.reshape(height // b, b, width // b, b)
+              .transpose(0, 2, 1, 3).reshape(-1))
+    inv = np.argsort(blocks)
+    return jnp.asarray(blocks), jnp.asarray(inv)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render(scene: FlatScene, camera: cam.Camera,
            cfg: RenderConfig = RenderConfig()) -> Array:
@@ -87,7 +105,16 @@ def render(scene: FlatScene, camera: cam.Camera,
                            cfg.epsilon, cfg.length)
     flat_rays = jax.tree.map(
         lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]), rays)
+
+    blocked = (cfg.march.backend.startswith("pallas")
+               and cfg.height % 32 == 0 and cfg.width % 32 == 0)
+    if blocked:
+        perm, inv = _block_perm(cfg.height, cfg.width)
+        flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
+
     colors = _trace_tiled(scene, flat_rays, cfg.march, cfg.tile_rays)
+    if blocked:
+        colors = colors[inv]
     return colors.reshape(cfg.height, cfg.width, 3)
 
 

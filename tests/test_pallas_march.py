@@ -1,0 +1,153 @@
+"""Pallas march kernel parity tests (interpret mode on CPU): the fused
+kernel must reproduce the jnp reference march bit-for-bit in hits and to
+float tolerance in distances (SURVEY.md §7 stage 3)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fraytracer_tpu as ft
+from fraytracer_tpu.ops.march import MarchConfig, march
+from fraytracer_tpu.scene.generators import csg_demo_scene, torus_csg_scene
+
+JNP = MarchConfig(backend="jnp", max_steps=128)
+PAL = MarchConfig(backend="pallas_interpret", max_steps=128)
+
+
+def flat_camera_rays(w, h, eps=0.01, length=30.0, pos=(0, 0, -10)):
+    cam = ft.look_at(pos, (0, 0, 0))
+    rays = ft.camera_rays(cam, w, h, eps, length)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+
+
+def assert_parity(scene, rays, atol=2e-6):
+    r_jnp = march(scene, rays, JNP)
+    r_pal = march(scene, rays, PAL)
+    hits = np.asarray(r_jnp.hit)
+    np.testing.assert_array_equal(hits, np.asarray(r_pal.hit))
+    if hits.any():
+        np.testing.assert_allclose(np.asarray(r_pal.t)[hits],
+                                   np.asarray(r_jnp.t)[hits], atol=atol)
+
+
+def test_parity_torus_csg():
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=48))
+    assert_parity(scene, flat_camera_rays(32, 32))
+
+
+def test_parity_all_primitive_kinds():
+    """One scene containing every primitive kind exercises every SoA
+    distance function in the kernel."""
+    scene = ft.flatten(ft.Scene(root=ft.union(
+        ft.sphere((0, 0, 0), 0.8, material=ft.solid(1, 0, 0)),
+        ft.capsule((-2, -1, 0), (-2, 1, 0), 0.3),
+        ft.torus((2, 0, 0), (0, 1, 0.3), 0.7, 0.2),
+        ft.triangle((-1, 1.5, 0), (1, 1.5, 0), (0, 2.5, 0.5), 0.1),
+        ft.box((0, -2, 0), (0.6, 0.4, 0.5), 0.05),
+        ft.cone((2, -2.5, 0), (2, -1, 0), 0.6, 0.1),
+        ft.plane((0, 1, 0), -3.5),
+    )))
+    assert_parity(scene, flat_camera_rays(32, 32, length=40.0))
+
+
+def test_parity_smooth_union_and_subtract():
+    scene = ft.flatten(ft.Scene(root=ft.subtract(
+        ft.intersect(
+            ft.smooth_union(0.3,
+                            ft.sphere((0, 0, 0), 1.0),
+                            ft.sphere((0.8, 0.3, 0), 0.7)),
+            ft.sphere((0, 0, 0), 1.5),
+        ),
+        ft.box((0.3, 0.5, -0.7), (0.4, 0.4, 0.4), 0.05),
+    )))
+    assert_parity(scene, flat_camera_rays(24, 24), atol=1e-5)
+
+
+def test_parity_nonmultiple_batch():
+    """Ray counts that don't divide the tile exercise the padding path."""
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=16))
+    rays = flat_camera_rays(30, 11)  # 330 rays: one tile + 74 padded
+    assert_parity(scene, rays)
+
+
+def test_parity_budget_and_miss():
+    scene = ft.flatten(ft.Scene(root=ft.sphere((0, 0, 0), 1.0)))
+    origins = np.array([[0, 0, -5.0]] * 4, np.float32)
+    dirs = np.array([[0, 0, 1.0], [0, 1, 0], [0, 0, 1.0], [0, 0, -1.0]],
+                    np.float32)
+    lengths = np.array([100.0, 100.0, 3.0, 100.0], np.float32)
+    rays = ft.make_rays(origins, dirs, lengths, 1e-3)
+    r_pal = march(scene, rays, PAL)
+    assert bool(r_pal.hit[0])        # direct hit
+    assert not bool(r_pal.hit[1])    # perpendicular miss
+    assert not bool(r_pal.hit[2])    # budget exhausted (SdfForm.fs:94)
+    assert not bool(r_pal.hit[3])    # walks away
+
+
+def test_pallas_gradients_match_jnp():
+    """Implicit-diff gradients are backend-independent (the reattachment
+    uses the jnp distance, only t* comes from the kernel)."""
+    scene = ft.flatten(ft.Scene(root=ft.sphere((0, 0, 0), 1.0)))
+    rays = ft.make_rays([0, 0, -5.0], [0, 0, 1.0], 100.0, 1e-4)
+
+    def t_of(r, cfg):
+        s = scene.replace(prim_params={
+            "sphere": scene.prim_params["sphere"].at[0, 3].set(r)})
+        return jnp.sum(march(s, jax.tree.map(lambda x: x[None], rays),
+                             cfg).t)
+
+    g_jnp = jax.grad(lambda r: t_of(r, JNP))(jnp.float32(1.0))
+    g_pal = jax.grad(lambda r: t_of(r, PAL))(jnp.float32(1.0))
+    np.testing.assert_allclose(float(g_pal), float(g_jnp), atol=1e-4)
+    np.testing.assert_allclose(float(g_pal), -1.0, atol=1e-3)
+
+
+def test_full_render_pallas_matches_jnp():
+    """End-to-end render through the pallas backend (block pixel ordering +
+    cone culling + overflow fallback) matches the jnp render."""
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=96))
+    cam = ft.look_at((0, 0, -10), (0, 0, 0))
+    a = np.asarray(ft.render(scene, cam, ft.RenderConfig(
+        width=64, height=64, march=MarchConfig(backend="jnp",
+                                               max_steps=128))))
+    b = np.asarray(ft.render(scene, cam, ft.RenderConfig(
+        width=64, height=64,
+        march=MarchConfig(backend="pallas_interpret", max_steps=128,
+                          cull=True, cull_threshold=64, cull_m=128))))
+    assert np.abs(a - b).max() < 1e-4
+
+
+def test_cull_candidates_conservative(rng):
+    """Every primitive whose surface any tile ray can hit must be in that
+    tile's candidate list (cone test soundness)."""
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops import sdf as S
+    from fraytracer_tpu.ops.pallas.march_kernel import (RAY_TILE,
+                                                        _cone_candidates,
+                                                        _tile_cones)
+    scene = ft.flatten(torus_csg_scene(seed=3, n_tori=64))
+    cam = ft.look_at((0, 0, -10), (0, 0, 0))
+    rays = ft.camera_rays(cam, 32, 32, 0.01, 30.0)
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+    grid = flat.origin.shape[0] // RAY_TILE
+    cones = _tile_cones(flat.origin, flat.direction, flat.length,
+                        flat.epsilon, grid)
+    bounds = S._prim_bound_rows("torus", scene.prim_params["torus"])
+    idx, count = _cone_candidates(bounds, *cones, 64)
+    cand_sets = [set(np.asarray(idx[g][:int(count[g])])) for g in range(grid)]
+
+    # brute force: sample points along every ray; any prim whose bound is
+    # within 2*eps of a sample must be a candidate of that ray's tile
+    o = np.asarray(flat.origin).reshape(grid, RAY_TILE, 3)
+    d = np.asarray(flat.direction).reshape(grid, RAY_TILE, 3)
+    b = np.asarray(bounds)
+    ts = np.linspace(0.0, 30.0, 40)
+    for g in range(grid):
+        sel = rng.choice(RAY_TILE, size=24, replace=False)
+        pts = (o[g, sel, None, :] + ts[None, :, None]
+               * d[g, sel, None, :]).reshape(-1, 3)
+        dist = np.linalg.norm(pts[:, None, :] - b[None, :, 0:3], axis=-1) \
+            - b[None, :, 3]
+        reachable = np.where(dist.min(axis=0) < 2 * 0.01)[0]
+        for prim in reachable:
+            assert prim in cand_sets[g], (g, prim)
