@@ -34,8 +34,9 @@ from .render import (RenderConfig, render, render_image, render_rays,
 from .scene.flatten import FlatScene, flatten
 from .scene.nodes import (Light, Material, Scene, SdfNode, box, capsule, cone,
                           dielectric, directional_light, emissive, intersect,
-                          mirror, plane, point_light, smooth_union, solid,
-                          sphere, subtract, torus, triangle, union)
+                          mirror, plane, point_light, procedural,
+                          smooth_union, solid, sphere, subtract, torus,
+                          triangle, union)
 from .types import MarchResult, Rays, SurfaceHit, make_rays
 
 __version__ = "0.1.0"
@@ -50,7 +51,8 @@ __all__ = [
     "FlatScene", "flatten",
     "Light", "Material", "Scene", "SdfNode", "box", "capsule", "cone",
     "dielectric", "directional_light", "emissive", "intersect", "mirror",
-    "plane", "point_light", "smooth_union", "solid", "sphere", "subtract",
+    "plane", "point_light", "procedural", "smooth_union", "solid",
+    "sphere", "subtract",
     "torus", "triangle", "union",
     "MarchResult", "Rays", "SurfaceHit", "make_rays",
 ]

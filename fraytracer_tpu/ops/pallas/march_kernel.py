@@ -343,15 +343,23 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             fn = _SOA_FNS[kind]
 
             def culled_pass(_, cand_ref=cand_ref, count=count, fn=fn):
-                acc = jnp.full(shp, _BIG)
-                for c0 in range(0, cull_m, prim_chunk):
-                    pc = min(prim_chunk, cull_m - c0)
+                def chunk_eval(c0, pc):
                     rows_p = cand_ref[0, c0:c0 + pc, :]
                     d = fn(rows_p, px3, py3, pz3)
                     lane = (jax.lax.broadcasted_iota(
                         jnp.int32, (1, 1, pc), 2) + c0)
                     dm = jnp.where(lane < count, d, _BIG)
-                    acc = jnp.minimum(acc, jnp.min(dm, axis=-1))
+                    return jnp.min(dm, axis=-1)
+
+                acc = chunk_eval(0, min(prim_chunk, cull_m))
+                for c0 in range(prim_chunk, cull_m, prim_chunk):
+                    pc = min(prim_chunk, cull_m - c0)
+                    # dynamic skip: tiles with few candidates pay only the
+                    # first chunk
+                    acc = jnp.minimum(acc, jax.lax.cond(
+                        count > c0,
+                        lambda c0=c0, pc=pc: chunk_eval(c0, pc),
+                        lambda: jnp.full(shp, _BIG)))
                 return acc
 
             def full_pass(_, ki=ki, row_lo=row_lo, row_hi=row_hi, fn=fn):

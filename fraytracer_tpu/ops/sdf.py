@@ -213,7 +213,13 @@ def scene_normal(scene: FlatScene, p: Array) -> Array:
 def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
     """Winning material at ``p``: argmin of distance over material-bearing
     primitives (the reference's second spatial lookup, ``SdfObject.fs:26-46``,
-    without the grid).  Returns (material_index [...], albedo [..., 3])."""
+    without the grid).  Returns (material_index [...], albedo [..., 3]).
+
+    Procedural materials (MAT_PROCEDURAL) evaluate their fbm color blend at
+    ``p`` — the position-dependent material closure of the reference design
+    (``SdfMaterial`` takes Position → Color, Types.fs:46-49).
+    """
+    from ..scene.nodes import MAT_PROCEDURAL
     d = prim_distances(scene, p)
     slots = scene.material_slots()
     if slots.size == 0:
@@ -225,6 +231,15 @@ def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
             [scene.prim_material[s] for s in slots], np.int32)
         midx = jnp.asarray(mat_of_slot)[win]
     albedo = scene.mat_albedo[midx]
+    if MAT_PROCEDURAL in scene.mat_kind:
+        from ..utils.noise import fbm
+        is_proc = (jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
+                   == MAT_PROCEDURAL)
+        scale = scene.mat_reflectivity[midx]
+        blend = 0.5 * (fbm(p * scale[..., None], octaves=3) + 1.0)
+        proc_albedo = (albedo * (1.0 - blend[..., None])
+                       + scene.mat_tint[midx] * blend[..., None])
+        albedo = jnp.where(is_proc[..., None], proc_albedo, albedo)
     return midx, albedo
 
 

@@ -28,13 +28,13 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
-    "Material", "solid", "mirror", "dielectric", "emissive",
+    "Material", "solid", "mirror", "dielectric", "emissive", "procedural",
     "SdfNode", "Prim", "Union", "SmoothUnion", "Intersect", "Subtract",
     "sphere", "capsule", "torus", "triangle", "box", "cone", "plane",
     "union", "smooth_union", "intersect", "subtract",
     "Light", "directional_light", "point_light",
     "Scene",
-    "MAT_SOLID", "MAT_MIRROR", "MAT_DIELECTRIC",
+    "MAT_SOLID", "MAT_MIRROR", "MAT_DIELECTRIC", "MAT_PROCEDURAL",
 ]
 
 # ---------------------------------------------------------------------------
@@ -44,6 +44,8 @@ __all__ = [
 MAT_SOLID = 0       # lambertian solid color (reference SdfMaterial.createSolid)
 MAT_MIRROR = 1      # perfect/partial specular reflector (secondary rays)
 MAT_DIELECTRIC = 2  # dispersive glass: Fresnel reflect+refract (Light.fs:28-59)
+MAT_PROCEDURAL = 3  # fbm-noise blend of two colors ("wood, cloud",
+                    # reference README.md:10 / Noise.fs)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +94,17 @@ def dielectric(ior: float = 1.5, dispersion: float = 0.004,
 
 def emissive(r: float, g: float, b: float) -> Material:
     return Material(albedo=(0.0, 0.0, 0.0), emission=(float(r), float(g), float(b)))
+
+
+def procedural(color_a, color_b, scale: float = 2.0) -> Material:
+    """Lambertian whose albedo blends ``color_a → color_b`` by fbm gradient
+    noise of the hit position (``utils.noise``) — the reference's procedural
+    material goal (README.md:10, Noise.fs).  ``scale`` is the noise spatial
+    frequency (stored in ``reflectivity``; ``tint`` holds color_b)."""
+    a = tuple(float(x) for x in color_a)
+    b = tuple(float(x) for x in color_b)
+    return Material(albedo=a, tint=b, kind=MAT_PROCEDURAL,
+                    reflectivity=float(scale))
 
 
 # ---------------------------------------------------------------------------
