@@ -85,6 +85,47 @@ def exposure_max_sharded(image: Array, mesh: Mesh) -> Array:
     return jax.jit(fn)(image)
 
 
+def render_spectral_sharded(scene: FlatScene, camera: cam.Camera,
+                            width: int, height: int, wcfg, mesh: Mesh):
+    """Spectral wavefront render with image rows sharded over the mesh.
+
+    Each device runs the full bounce/compaction loop on its own row block's
+    ray queue — wavefront queues are device-local, so compaction needs no
+    cross-chip communication; only the final frame is sharded.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.wavefront import RayQueue, _bounce
+
+    _shard_rows(mesh, height)
+    base = cam.camera_rays(camera, width, height, wcfg.epsilon, wcfg.length)
+
+    def local_fn(scene: FlatScene, rays):
+        h_local = rays.origin.shape[0]
+        npix = h_local * width
+        B = wcfg.num_bins
+        o = jnp.repeat(rays.origin.reshape(npix, 3), B, axis=0)
+        d = jnp.repeat(rays.direction.reshape(npix, 3), B, axis=0)
+        pixel = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), B)
+        wl = jnp.tile(jnp.arange(B, dtype=jnp.int32), npix)
+        q = RayQueue(
+            origin=o, direction=d, pixel=pixel, wl=wl,
+            throughput=jnp.full((npix * B,), 1.0 / B, jnp.float32),
+            length=jnp.full((npix * B,), wcfg.length, jnp.float32),
+            inside=jnp.zeros((npix * B,), bool),
+            active=jnp.ones((npix * B,), bool),
+        )
+        image = jnp.zeros((npix, 3), jnp.float32)
+        for bounce in range(wcfg.depth):
+            q, image = _bounce(scene, q, image, wcfg,
+                               is_last=(bounce == wcfg.depth - 1))
+        return image.reshape(h_local, width, 3)
+
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(P(), P(AXIS)),
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)(scene, base)
+
+
 def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
     """Build the sharded inverse-rendering training step (BASELINE config 5).
 

@@ -87,3 +87,29 @@ def test_train_step_matches_single_device(scene, camera):
     want_albedo = scene.mat_albedo - lr * g.mat_albedo
     np.testing.assert_allclose(np.asarray(s_sharded.mat_albedo),
                                np.asarray(want_albedo), atol=1e-5)
+
+
+def test_spectral_sharded_matches_single(scene, camera):
+    from fraytracer_tpu.ops.wavefront import WavefrontConfig, render_spectral
+    from fraytracer_tpu.parallel.mesh import render_spectral_sharded
+    wcfg = WavefrontConfig(depth=2, epsilon=0.02, length=30.0,
+                           march=MarchConfig(max_steps=48))
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_spectral_sharded(
+        scene, camera, 16, 32, wcfg, mesh))
+    single = np.asarray(render_spectral(scene, camera, 16, 32, wcfg))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_render_with_pallas_backend(scene, camera):
+    """shard_map composes with the pallas kernel (interpret mode on the
+    virtual CPU mesh)."""
+    cfg = ft.RenderConfig(
+        width=16, height=32, epsilon=0.02, length=30.0,
+        march=MarchConfig(max_steps=64, backend="pallas_interpret"))
+    mesh = make_mesh(4)
+    sharded = np.asarray(render_sharded(scene, camera, cfg, mesh))
+    single = np.asarray(ft.render(scene, camera, ft.RenderConfig(
+        width=16, height=32, epsilon=0.02, length=30.0,
+        march=MarchConfig(max_steps=64))))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
