@@ -61,7 +61,8 @@ def main() -> int:
     cfg = ft.RenderConfig(width=args.size, height=args.size,
                           epsilon=0.01, length=30.0,
                           march=MarchConfig(max_steps=192, bound_skip=True,
-                                            backend=backend))
+                                            backend=backend,
+                                            relax_omega=1.4))
 
     # The render returns the image plus a scalar checksum; timing fetches
     # the checksum to host.  block_until_ready alone is not a reliable

@@ -63,6 +63,12 @@ class MarchConfig:
     cull: bool = True
     cull_m: int = 128           # candidate slots per tile (rounded to 128)
     cull_threshold: int = 192   # min group size worth culling
+    # Over-relaxed sphere tracing (pallas backend): step by omega·d with a
+    # sound fallback — when the relaxed step leaves the union of the two
+    # safety spheres (step > d_prev + d), revert to the conservative
+    # landing point and continue.  1.0 disables.  Never skips a surface the
+    # conservative march would hit.
+    relax_omega: float = 1.0
 
 
 def bound_skip_start(scene: FlatScene, rays: Rays,

@@ -274,7 +274,8 @@ def _cull_pairs(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 @functools.lru_cache(maxsize=32)
 def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   max_steps: int, prim_chunk: int,
-                  cull_pairs: Tuple = (), cull_m: int = 0):
+                  cull_pairs: Tuple = (), cull_m: int = 0,
+                  omega: float = 1.0):
     """Build the pallas kernel fn for a scene structure.  Cached."""
     groups, tree = _build_groups(plan)
 
@@ -445,17 +446,44 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
         # active/hit are carried as float 0/1 masks — Mosaic cannot yield
         # vector<i1> from an scf.while region.
+        relaxed = omega > 1.0
+
         def cond(state):
-            _t, active, _hit, _d, i = state
+            active, i = state[1], state[-1]
             return jnp.logical_and(jnp.max(active) > 0.0, i < max_steps)
 
         def body(state):
-            t, active, hit, d_prev, i = state
+            if relaxed:
+                t, active, hit, d_out_prev, d_start, step_taken, i = state
+            else:
+                t, active, hit, d_out_prev, i = state
             px = origin[0] + t * direc[0]
             py = origin[1] + t * direc[1]
             pz = origin[2] + t * direc[2]
             d = scene_distance_lanes(param_refs, gid_ref, cull_refs,
                                      px, py, pz)
+            if relaxed:
+                # overstep: the omega-relaxed step left the union of the
+                # two safety spheres → revert to the conservative landing
+                # point and re-evaluate there next iteration
+                over = active * jnp.where(step_taken > d_start + d,
+                                          1.0, 0.0)
+                ok = 1.0 - over
+                is_hit = active * ok * jnp.where(d < eps, 1.0, 0.0)
+                hit = jnp.maximum(hit, is_hit)
+                step_new = omega * d
+                t_cons = t - step_taken + d_start
+                adv = active * ok * (1.0 - is_hit) * step_new
+                t_new = over * t_cons + ok * (t + adv)
+                not_exhausted = jnp.where(t_new < length, 1.0, 0.0)
+                active = active * jnp.maximum(
+                    over, (1.0 - is_hit) * not_exhausted)
+                keep = jnp.maximum(active * ok, is_hit)
+                d_out_ = keep * d + (1.0 - keep) * d_out_prev
+                d_start_n = over * d_start + ok * d
+                step_taken_n = over * d_start + ok * adv
+                return (t_new, active, hit, d_out_, d_start_n,
+                        step_taken_n, i + 1)
             is_hit = active * jnp.where(d < eps, 1.0, 0.0)
             hit = jnp.maximum(hit, is_hit)
             step = active * (1.0 - is_hit) * d
@@ -463,13 +491,22 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             not_exhausted = jnp.where(t_new < length, 1.0, 0.0)
             active = active * (1.0 - is_hit) * not_exhausted
             keep = jnp.maximum(active, is_hit)
-            d_out_ = keep * d + (1.0 - keep) * d_prev
+            d_out_ = keep * d + (1.0 - keep) * d_out_prev
             return t_new, active, hit, d_out_, i + 1
 
         active0 = jnp.where(length > 0.0, 1.0, 0.0)
-        init = (t0, active0, jnp.zeros_like(active0),
-                jnp.full(length.shape, _BIG), jnp.int32(0))
-        t, _active, hit, d, i = jax.lax.while_loop(cond, body, init)
+        if relaxed:
+            init = (t0, active0, jnp.zeros_like(active0),
+                    jnp.full(length.shape, _BIG),
+                    jnp.full(length.shape, _BIG),   # d_start (no overstep)
+                    jnp.zeros_like(length),          # step_taken
+                    jnp.int32(0))
+            t, _active, hit, d, _ds, _st, i = jax.lax.while_loop(
+                cond, body, init)
+        else:
+            init = (t0, active0, jnp.zeros_like(active0),
+                    jnp.full(length.shape, _BIG), jnp.int32(0))
+            t, _active, hit, d, i = jax.lax.while_loop(cond, body, init)
 
         t_out[:, :] = t
         hit_out[:, :] = (hit > 0.0).astype(jnp.int32)
@@ -573,7 +610,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays,
 
     kernel, n_kinds, slot_gid = _build_kernel(
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
-        pairs, cull_m)
+        pairs, cull_m, cfg.relax_omega)
     grid = npad // RAY_TILE
 
     # per-tile candidate lists for each culled (group, kind) pair

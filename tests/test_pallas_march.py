@@ -151,3 +151,23 @@ def test_cull_candidates_conservative(rng):
         reachable = np.where(dist.min(axis=0) < 2 * 0.01)[0]
         for prim in reachable:
             assert prim in cand_sets[g], (g, prim)
+
+
+def test_relaxed_march_equivalent():
+    """Over-relaxed march (omega=1.4) with the safe fallback finds exactly
+    the same hit set, with hit distances within the epsilon shell, in fewer
+    or equal steps."""
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
+    rays = flat_camera_rays(32, 32)
+    base = march(scene, rays, MarchConfig(backend="pallas_interpret",
+                                          max_steps=192))
+    relaxed = march(scene, rays, MarchConfig(backend="pallas_interpret",
+                                             max_steps=192,
+                                             relax_omega=1.4))
+    hits = np.asarray(base.hit)
+    np.testing.assert_array_equal(hits, np.asarray(relaxed.hit))
+    if hits.any():
+        tdiff = np.abs(np.asarray(relaxed.t) - np.asarray(base.t))[hits]
+        assert tdiff.max() < 3 * 0.01  # within the epsilon shell
+    assert int(np.asarray(relaxed.steps).max()) <= \
+        int(np.asarray(base.steps).max())
