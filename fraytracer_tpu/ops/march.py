@@ -75,27 +75,35 @@ def bound_skip_start(scene: FlatScene, rays: Rays,
                      sign: Array | None = None):
     """Fast-forward rays to the scene's root bounding sphere.
 
-    Returns ``(t0, miss0)``: the start offset along each ray (conservative
-    — backed off by epsilon) and the lanes that provably miss the bound
-    entirely.  Inside-marching lanes (sign < 0) are left untouched.  The
-    TPU analog of the reference's boundary ray tests
-    (SdfBoundary.Sphere.trace, SdfBoundary.fs:152-201).
+    Returns ``(t0, miss0, t_exit)``: the start offset along each ray
+    (conservative — backed off by epsilon), the lanes that provably miss
+    the bound entirely, and the ray parameter where each ray *leaves* the
+    root bound — no hit can occur past it, so callers clamp the travel
+    budget to it (shadow rays with the reference's hardcoded budget of
+    1000, SdfLight.fs:14, stop marching as soon as they escape the scene).
+    Inside-marching lanes (sign < 0) are left untouched.  The TPU analog
+    of the reference's boundary ray tests (SdfBoundary.Sphere.trace,
+    SdfBoundary.fs:152-201).
     """
     bound = sdf.root_bound(scene)
     oc = rays.origin - bound[0:3]
     b = dot(oc, rays.direction)
     c = dot(oc, oc) - bound[3] * bound[3]
     disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     outside = c > 0.0
     no_hit = outside & ((disc < 0.0) | (b > 0.0))
-    enter = jnp.maximum(-b - jnp.sqrt(jnp.maximum(disc, 0.0))
-                        - rays.epsilon, 0.0)
+    enter = jnp.maximum(-b - sq - rays.epsilon, 0.0)
+    # exit + slack: surfaces can sit exactly on the bound and hits trigger
+    # up to epsilon early/late; keep a 4-epsilon shell inside the budget
+    t_exit = jnp.where(no_hit, 0.0, -b + sq + 4.0 * rays.epsilon)
     if sign is not None:
         outward = sign > 0.0
         outside = outside & outward
         no_hit = no_hit & outward
+        t_exit = jnp.where(outward, t_exit, rays.length)
     t0 = jnp.where(outside & ~no_hit, enter, 0.0)
-    return t0, no_hit
+    return t0, no_hit, t_exit
 
 
 def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
@@ -109,9 +117,12 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     batch = rays.batch_shape
     t0 = jnp.zeros(batch, jnp.float32)
     miss0 = jnp.zeros(batch, jnp.bool_)
+    length = rays.length
 
     if cfg.bound_skip:
-        t0, miss0 = bound_skip_start(scene, rays, sign)
+        t0, miss0, t_exit = bound_skip_start(scene, rays, sign)
+        # no hit can occur past the root-bound exit: clamp the budget
+        length = jnp.minimum(length, t_exit)
 
     def cond(state):
         _t, active, _hit, _d, steps = state
@@ -129,12 +140,12 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         step = jnp.where(active & ~is_hit, d, 0.0)
         t_new = t + step
         # budget check happens before the *next* eval (SdfForm.fs:94)
-        exhausted = t_new >= rays.length
+        exhausted = t_new >= length
         active = active & ~is_hit & ~exhausted
         d_out = jnp.where(active | is_hit, d, d_prev)
         return t_new, active, hit, d_out, steps + 1
 
-    active0 = (rays.length > 0.0) & ~miss0 & (t0 < rays.length)
+    active0 = (length > 0.0) & ~miss0 & (t0 < length)
     init = (t0, active0, jnp.zeros(batch, jnp.bool_),
             jnp.full(batch, jnp.float32(sdf._BIG)), jnp.int32(0))
     t, _active, hit, d, steps = jax.lax.while_loop(cond, body, init)
@@ -176,15 +187,36 @@ def _march_cvjp_bwd(cfg, residuals, ct: MarchResult):
     sg = jax.lax.stop_gradient
     t0 = sg(raw.t)
     signv = None if sign.ndim == 0 else sg(sign)
-
-    def f_at(scene, origin, direction):
-        x0 = origin + t0[..., None] * direction
-        f = sdf.scene_distance(scene, x0)
-        return signv * f if signv is not None else f
+    batch = raw.t.shape
 
     x0 = sg(rays.origin) + t0[..., None] * sg(rays.direction)
-    gradx = sg(jax.grad(lambda q: jnp.sum(
-        sdf.scene_distance(sg(scene), q)))(x0))
+
+    # big-scene fast path: evaluate the implicit-function VJP over per-tile
+    # candidate lists instead of every primitive (ops/point_eval.py);
+    # candidate selection happens here, outside the differentiated closures
+    built = None
+    if cfg.cull and cfg.backend.startswith("pallas") and signv is None:
+        from .point_eval import build_culled_eval
+        built = build_culled_eval(scene, x0.reshape(-1, 3),
+                                  sg(raw.hit).reshape(-1),
+                                  m=cfg.cull_m, threshold=cfg.cull_threshold)
+
+    if built is not None:
+        dist_fn, _mat_fn, tile_of, nn = built
+
+        def scene_d(sc, x):
+            return dist_fn(sc, tile_of(x.reshape(-1, 3))) \
+                .reshape(-1)[:nn].reshape(batch)
+    else:
+        def scene_d(sc, x):
+            return sdf.scene_distance(sc, x)
+
+    def f_at(scene, origin, direction):
+        x = origin + t0[..., None] * direction
+        f = scene_d(scene, x)
+        return signv * f if signv is not None else f
+
+    gradx = sg(jax.grad(lambda q: jnp.sum(scene_d(sg(scene), q)))(x0))
     if signv is not None:
         gradx = signv[..., None] * gradx
     denom = dot(gradx, sg(rays.direction))

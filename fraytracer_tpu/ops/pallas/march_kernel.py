@@ -471,7 +471,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 ok = 1.0 - over
                 is_hit = active * ok * jnp.where(d < eps, 1.0, 0.0)
                 hit = jnp.maximum(hit, is_hit)
-                step_new = omega * d
+                # a relaxed step that would cross the budget could kill the
+                # ray before the overstep fallback can revert it; fall back
+                # to the conservative step there (sound: if even t+d crosses,
+                # the conservative march dies at the same point)
+                step_rel = omega * d
+                step_new = jnp.where(t + step_rel >= length, d, step_rel)
                 t_cons = t - step_taken + d_start
                 adv = active * ok * (1.0 - is_hit) * step_new
                 t_new = over * t_cons + ok * (t + adv)
@@ -578,11 +583,16 @@ def pallas_march_raw(scene: FlatScene, rays: Rays,
 
     t0 = jnp.zeros((n,), jnp.float32)
     miss0 = jnp.zeros((n,), bool)
+    length = rays.length
     if cfg.bound_skip:
-        t0, miss0 = bound_skip_start(scene, rays)
+        t0, miss0, t_exit = bound_skip_start(scene, rays)
+        # no hit can occur past the root-bound exit: clamp the budget
+        # (directional shadow rays carry the reference's budget of 1000,
+        # SdfLight.fs:14 — they stop as soon as they escape the scene)
+        length = jnp.minimum(length, t_exit)
 
     origin = rays.origin + t0[:, None] * rays.direction
-    length = jnp.where(miss0, 0.0, rays.length - t0)
+    length = jnp.where(miss0, 0.0, length - t0)
 
     pad = (-n) % RAY_TILE
     npad = n + pad

@@ -1,0 +1,286 @@
+"""Culled scene evaluation at point batches (normals, materials, VJPs).
+
+The march kernel prunes primitives per ray tile with cone culling; this
+module applies the same idea to the *point* evaluations that surround the
+march — surface normals (``jax.grad`` of the scene SDF), material argmin
+resolution (reference ``SdfObject.fs:26-46``), and the implicit-diff VJP of
+the hit distance.  Without it those stages evaluate every primitive densely
+and dominate the render time on big scenes (the 1000-tori benchmark spends
+~2/3 of its wall clock there).
+
+Mechanism: points are processed in tiles of ``POINT_TILE``; for every large
+homogeneous 'min' group (the same static ``_cull_pairs`` selection the march
+kernel uses) each tile gathers the ``m`` candidates whose *bounding spheres*
+(``SdfBoundary.fs:58-61`` lower bounds) are nearest to the tile centroid.
+Distances, gradients and argmins are then computed over the [tile, m]
+candidate matrix instead of [tile, K].  Selection indices are computed under
+``stop_gradient``; the gathered parameters are not, so parameter gradients
+flow back through the gather (scatter-add in the VJP).
+
+Exactness: the evaluation at a point is exact whenever the primitives that
+*matter* there (the argmin for union/material resolution; everything within
+the local distance for the gradient) are among the m nearest-by-bound
+candidates of the tile centroid.  With m=128 against the benchmark's ~30-90
+relevant primitives per coherent 32x32-pixel tile this holds in practice;
+degenerate tiles (hit points spanning the whole scene) can in principle
+rank the winner out, which perturbs that tile's shading by at most the
+material/normal of a nearly-equidistant primitive.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.flatten import FlatScene
+from ..types import normalize, norm
+from . import sdf
+
+Array = jax.Array
+
+POINT_TILE = 1024
+_BIG = 3.0e38
+
+
+def _static_layout(scene: FlatScene, threshold: int):
+    """Static (hashable-input) layout: cull pairs, groups/tree, dense slot
+    arrays.  Reuses the march kernel's plan analysis."""
+    from .pallas.march_kernel import _build_groups, _cull_pairs
+
+    pairs = _cull_pairs(scene.kind_counts, scene.plan, threshold)
+    groups, tree = _build_groups(scene.plan)
+
+    culled_rows = {}
+    for (_gid, kind, _ki, r0, r1) in pairs:
+        culled_rows.setdefault(kind, []).append((r0, r1))
+
+    offsets, off = {}, 0
+    for k, c in scene.kind_counts:
+        offsets[k] = off
+        off += c
+    slot_gid = np.full(off, -1, np.int32)
+    for g in groups:
+        slot_gid[list(g.slots)] = g.gid
+
+    # dense rows per kind (rows not covered by a culled pair)
+    dense = []  # (kind, row_idx np[int32], global_slot np[int32])
+    for kind, cnt in scene.kind_counts:
+        mask = np.ones(cnt, bool)
+        for lo, hi in culled_rows.get(kind, []):
+            mask[lo:hi] = False
+        rows = np.where(mask)[0].astype(np.int32)
+        if rows.size:
+            dense.append((kind, rows, offsets[kind] + rows))
+    return pairs, groups, tree, slot_gid, offsets, dense
+
+
+def _tile_centers(pos: Array, hit: Array | None):
+    """Per-tile centroid of (hit) points; pos [G, T, 3], hit [G, T] bool."""
+    if hit is None:
+        return jnp.mean(pos, axis=1)
+    w = hit.astype(jnp.float32)[..., None]
+    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return jnp.sum(pos * w, axis=1) / n
+
+
+def _candidates(bounds: Array, center: Array, m: int):
+    """Indices [G, m] of the m candidates nearest the tile centers by
+    bounding-sphere lower bound (SdfBoundary.fs:58-61)."""
+    bd = (norm(center[:, None, :] - bounds[None, :, 0:3])
+          - bounds[None, :, 3])                       # [G, Kg]
+    _, idx = jax.lax.top_k(-bd, m)
+    return idx.astype(jnp.int32)
+
+
+def build_culled_eval(scene: FlatScene, pos: Array,
+                      hit: Array | None = None,
+                      m: int = 128, threshold: int = 192):
+    """Build a culled scene evaluator around the point batch ``pos [N, 3]``.
+
+    Returns ``None`` when the scene has no cull-eligible group (callers fall
+    back to the dense path), else ``(dist_fn, mat_fn, reshape)`` where
+
+    * ``dist_fn(scene, q)`` — scene distance at ``q [G, T, 3]`` → [G, T],
+      differentiable w.r.t. both ``scene`` and ``q``;
+    * ``mat_fn(scene, q)``  — (material index [G, T], per-candidate data) —
+      argmin material resolution over dense + candidate slots;
+    * ``reshape(x)``        — [N, ...] → tiled [G, T, ...] (with padding).
+
+    Candidate *selection* is fixed at build time (from ``pos`` under
+    stop_gradient); the returned closures gather parameters from whatever
+    ``scene`` pytree they are called with, so they are safe inside
+    ``jax.vjp``/``jax.grad`` over the scene.
+    """
+    n = pos.shape[0]
+    pairs, groups, tree, slot_gid, offsets, dense = _static_layout(
+        scene, threshold)
+    if not pairs:
+        return None
+
+    pad = (-n) % POINT_TILE
+    npad = n + pad
+
+    def reshape(x):
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, widths, mode="edge")
+        return x.reshape((npad // POINT_TILE, POINT_TILE) + x.shape[1:])
+
+    pos_t = reshape(jax.lax.stop_gradient(pos))
+    hit_t = reshape(hit) if hit is not None else None
+    if hit_t is not None:
+        # tiles look at their hit centroid; garbage (miss-lane) positions
+        # must not widen the candidate neighborhood
+        center = _tile_centers(pos_t, hit_t)
+        pos_sel = jnp.where(hit_t[..., None], pos_t, center[:, None, :])
+        center = _tile_centers(pos_sel, None)
+    else:
+        center = _tile_centers(pos_t, None)
+
+    # per-pair static row->material map and candidate selection
+    pair_sel: List[Tuple] = []
+    for (gid, kind, _ki, row_lo, row_hi) in pairs:
+        mcap = min(m, row_hi - row_lo)
+        rows_params = jax.lax.stop_gradient(
+            scene.prim_params[kind][row_lo:row_hi])
+        bounds = sdf._prim_bound_rows(kind, rows_params)
+        idx = _candidates(bounds, center, mcap)        # [G, mcap]
+        mat_of_row = np.asarray(
+            scene.prim_material[offsets[kind] + row_lo:
+                                offsets[kind] + row_hi], np.int32)
+        pair_sel.append((gid, kind, row_lo, idx, mat_of_row))
+
+    # dense material slots (static)
+    dense_mat = []  # (kind, row np[int32], mat np[int32])
+    for kind, rows, gslots in dense:
+        mats = np.asarray([scene.prim_material[s] for s in gslots], np.int32)
+        keep = mats >= 0
+        if keep.any():
+            dense_mat.append((kind, rows[keep], mats[keep]))
+
+    def _group_values(sc: FlatScene, q: Array):
+        """q [G, T, 3] → per-group reduced values [G, T] each."""
+        shp = q.shape[:-1]
+        accs = []
+        for g in groups:
+            if g.op == "min":
+                accs.append(jnp.full(shp, _BIG))
+            elif g.op == "max":
+                accs.append(jnp.full(shp, -_BIG))
+            else:
+                accs.append(jnp.zeros(shp))
+
+        def fold(gi, d):
+            g = groups[gi]
+            if g.op == "min":
+                accs[gi] = jnp.minimum(accs[gi], jnp.min(d, axis=-1))
+            elif g.op == "max":
+                accs[gi] = jnp.maximum(accs[gi], jnp.max(d, axis=-1))
+            else:
+                accs[gi] = accs[gi] + jnp.sum(jnp.exp(-d / g.k), axis=-1)
+
+        # dense part: evaluate per kind, split by owning group (static)
+        for kind, rows, gslots in dense:
+            params = sc.prim_params[kind][rows]
+            d = sdf._DIST_FNS[kind](params, q)         # [G, T, Kd]
+            gids = slot_gid[gslots]
+            for gid in np.unique(gids):
+                sel = np.where(gids == gid)[0].astype(np.int32)
+                fold(int(gid), d[..., sel])
+
+        # culled part: per-tile gathered candidates
+        for (gid, kind, row_lo, idx, _mats) in pair_sel:
+            params = sc.prim_params[kind][row_lo + idx]   # [G, mcap, P]
+            d = jax.vmap(sdf._DIST_FNS[kind])(params, q)  # [G, T, mcap]
+            fold(gid, d)
+
+        out = []
+        for g, a in zip(groups, accs):
+            if g.op == "sumexp":
+                out.append(-g.k * jnp.log(jnp.maximum(a, 1e-30)))
+            else:
+                out.append(a)
+        return out
+
+    def _eval_tree(gvals, t):
+        if t[0] == "g":
+            return gvals[t[1]]
+        op, k, kids = t
+        vals = [_eval_tree(gvals, x) for x in kids]
+        if op == "subtract":
+            return jnp.maximum(vals[0], -vals[1])
+        if op == "union":
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.minimum(out, v)
+            return out
+        if op == "intersect":
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.maximum(out, v)
+            return out
+        if op == "smooth_union":
+            s = jnp.zeros_like(vals[0])
+            for v in vals:
+                s = s + jnp.exp(-v / k)
+            return -k * jnp.log(jnp.maximum(s, 1e-30))
+        raise ValueError(op)
+
+    def dist_fn(sc: FlatScene, q: Array) -> Array:
+        return _eval_tree(_group_values(sc, q), tree)
+
+    def mat_fn(sc: FlatScene, q: Array):
+        """Winning material index at q [G, T, 3] → [G, T] int32 (argmin over
+        material-bearing primitives, SdfObject.fs:26-46)."""
+        shp = q.shape[:-1]
+        best_d = jnp.full(shp, _BIG)
+        best_m = jnp.zeros(shp, jnp.int32)
+
+        def consider(d, midx):
+            nonlocal best_d, best_m
+            better = d < best_d
+            best_d = jnp.where(better, d, best_d)
+            best_m = jnp.where(better, midx, best_m)
+
+        for kind, rows, mats in dense_mat:
+            params = sc.prim_params[kind][rows]
+            d = sdf._DIST_FNS[kind](params, q)          # [G, T, Kd]
+            win = jnp.argmin(d, axis=-1)
+            consider(jnp.min(d, axis=-1), jnp.asarray(mats)[win])
+
+        for (_gid, kind, row_lo, idx, mat_of_row) in pair_sel:
+            params = sc.prim_params[kind][row_lo + idx]
+            d = jax.vmap(sdf._DIST_FNS[kind])(params, q)  # [G, T, mcap]
+            cand_mats = jnp.asarray(mat_of_row)[idx]      # [G, mcap]
+            d = jnp.where((cand_mats >= 0)[:, None, :], d, _BIG)
+            win = jnp.argmin(d, axis=-1)                  # [G, T]
+            consider(jnp.min(d, axis=-1),
+                     jnp.take_along_axis(cand_mats, win, axis=-1))
+
+        return best_m
+
+    return dist_fn, mat_fn, reshape, n
+
+
+def culled_surface_eval(scene: FlatScene, pos: Array,
+                        hit: Array | None = None,
+                        m: int = 128, threshold: int = 192):
+    """Normal + material at hit points with per-tile candidate culling.
+
+    ``pos [N, 3]`` → (normal [N, 3], material index [N], albedo [N, 3]).
+    Returns ``None`` if the scene has no cull-eligible group.  Differentiable
+    w.r.t. ``scene`` and ``pos``.
+    """
+    built = build_culled_eval(scene, pos, hit, m, threshold)
+    if built is None:
+        return None
+    dist_fn, mat_fn, reshape, n = built
+
+    q = reshape(pos)
+    g = jax.grad(lambda qq: jnp.sum(dist_fn(scene, qq)))(q)
+    normal = normalize(g).reshape(-1, 3)[:n]
+    midx = mat_fn(scene, q).reshape(-1)[:n]
+    albedo = sdf.albedo_of(scene, midx, pos)
+    return normal, midx, albedo

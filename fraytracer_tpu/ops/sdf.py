@@ -210,26 +210,14 @@ def scene_normal(scene: FlatScene, p: Array) -> Array:
     return normalize(g)
 
 
-def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
-    """Winning material at ``p``: argmin of distance over material-bearing
-    primitives (the reference's second spatial lookup, ``SdfObject.fs:26-46``,
-    without the grid).  Returns (material_index [...], albedo [..., 3]).
+def albedo_of(scene: FlatScene, midx: Array, p: Array) -> Array:
+    """Albedo of material ``midx [...]`` evaluated at position ``p [..., 3]``.
 
     Procedural materials (MAT_PROCEDURAL) evaluate their fbm color blend at
     ``p`` — the position-dependent material closure of the reference design
     (``SdfMaterial`` takes Position → Color, Types.fs:46-49).
     """
     from ..scene.nodes import MAT_PROCEDURAL
-    d = prim_distances(scene, p)
-    slots = scene.material_slots()
-    if slots.size == 0:
-        midx = jnp.zeros(p.shape[:-1], jnp.int32)
-    else:
-        sub = d[..., slots]
-        win = jnp.argmin(sub, axis=-1)
-        mat_of_slot = np.asarray(
-            [scene.prim_material[s] for s in slots], np.int32)
-        midx = jnp.asarray(mat_of_slot)[win]
     albedo = scene.mat_albedo[midx]
     if MAT_PROCEDURAL in scene.mat_kind:
         from ..utils.noise import fbm
@@ -240,7 +228,24 @@ def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
         proc_albedo = (albedo * (1.0 - blend[..., None])
                        + scene.mat_tint[midx] * blend[..., None])
         albedo = jnp.where(is_proc[..., None], proc_albedo, albedo)
-    return midx, albedo
+    return albedo
+
+
+def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
+    """Winning material at ``p``: argmin of distance over material-bearing
+    primitives (the reference's second spatial lookup, ``SdfObject.fs:26-46``,
+    without the grid).  Returns (material_index [...], albedo [..., 3])."""
+    d = prim_distances(scene, p)
+    slots = scene.material_slots()
+    if slots.size == 0:
+        midx = jnp.zeros(p.shape[:-1], jnp.int32)
+    else:
+        sub = d[..., slots]
+        win = jnp.argmin(sub, axis=-1)
+        mat_of_slot = np.asarray(
+            [scene.prim_material[s] for s in slots], np.int32)
+        midx = jnp.asarray(mat_of_slot)[win]
+    return midx, albedo_of(scene, midx, p)
 
 
 # ---------------------------------------------------------------------------

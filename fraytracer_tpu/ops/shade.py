@@ -44,8 +44,22 @@ def surface_hit(scene: FlatScene, rays: Rays,
     # normal are evaluated at the backed-off point, like the reference's
     # normalFromRay (SdfForm.fs:114-115).
     pos = rays.at(res.t - rays.epsilon)
-    normal = sdf.scene_normal(scene, pos)
-    midx, albedo = sdf.material_at(scene, pos)
+    out = None
+    if cfg.cull and cfg.backend.startswith("pallas"):
+        # big-scene fast path: normals/materials over per-tile candidate
+        # lists instead of every primitive (ops/point_eval.py)
+        from .point_eval import culled_surface_eval
+        batch = res.hit.shape
+        out = culled_surface_eval(
+            scene, pos.reshape(-1, 3), res.hit.reshape(-1),
+            m=cfg.cull_m, threshold=cfg.cull_threshold)
+        if out is not None:
+            normal = out[0].reshape(batch + (3,))
+            midx = out[1].reshape(batch)
+            albedo = out[2].reshape(batch + (3,))
+    if out is None:
+        normal = sdf.scene_normal(scene, pos)
+        midx, albedo = sdf.material_at(scene, pos)
     midx = jnp.where(res.hit, midx, -1)
     return SurfaceHit(hit=res.hit, position=pos, normal=normal,
                       color=albedo, material=midx, t=res.t)

@@ -1,0 +1,78 @@
+"""Culled point evaluation (ops/point_eval.py) vs the dense path: normals,
+material argmin, and the implicit-diff VJP must match on the benchmark-style
+torus CSG scene (where culling is active)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import fraytracer_tpu as ft
+from fraytracer_tpu.ops import point_eval, sdf, shade
+from fraytracer_tpu.ops.march import MarchConfig, march
+from fraytracer_tpu.scene.generators import torus_csg_scene
+from tests.test_pallas_march import flat_camera_rays
+
+CULLED = MarchConfig(backend="pallas_interpret", max_steps=128,
+                     cull=True, cull_threshold=48, cull_m=64)
+DENSE_NM = MarchConfig(backend="pallas_interpret", max_steps=128, cull=False)
+
+
+def _hits(scene, rays, cfg):
+    res = march(scene, rays, cfg)
+    pos = rays.at(res.t - rays.epsilon)
+    return res, pos
+
+
+def test_culled_normal_material_match_dense():
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
+    rays = flat_camera_rays(48, 48)
+    res, pos = _hits(scene, rays, CULLED)
+    hit = np.asarray(res.hit)
+    assert hit.any()
+
+    out = point_eval.culled_surface_eval(scene, pos, res.hit,
+                                         m=64, threshold=48)
+    assert out is not None, "torus group should be cull-eligible"
+    n_c, m_c, a_c = map(np.asarray, out)
+
+    n_d = np.asarray(sdf.scene_normal(scene, pos))
+    m_d, a_d = map(np.asarray, sdf.material_at(scene, pos))
+
+    np.testing.assert_allclose(n_c[hit], n_d[hit], atol=1e-5)
+    np.testing.assert_array_equal(m_c[hit], m_d[hit])
+    np.testing.assert_allclose(a_c[hit], a_d[hit], atol=1e-6)
+
+
+def test_culled_eval_none_without_big_groups():
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=8))
+    rays = flat_camera_rays(8, 8)
+    res, pos = _hits(scene, rays, DENSE_NM)
+    assert point_eval.culled_surface_eval(scene, pos, res.hit,
+                                          m=64, threshold=48) is None
+
+
+def test_culled_surface_hit_matches_dense_trace():
+    """The full shaded image through the culled fast path equals the dense
+    path (both pallas_interpret march)."""
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
+    rays = flat_camera_rays(32, 32)
+    img_c = np.asarray(shade.trace(scene, rays, CULLED))
+    img_d = np.asarray(shade.trace(scene, rays, DENSE_NM))
+    np.testing.assert_allclose(img_c, img_d, atol=1e-5)
+
+
+def test_culled_vjp_matches_dense_gradients():
+    """Gradient of a pixel-sum loss w.r.t. torus parameters through the
+    culled implicit-diff backward equals the dense backward."""
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
+    rays = flat_camera_rays(24, 24)
+
+    def loss(s, cfg):
+        return jnp.sum(shade.trace(s, rays, cfg))
+
+    g_c = jax.grad(lambda s: loss(s, CULLED))(scene)
+    g_d = jax.grad(lambda s: loss(s, DENSE_NM))(scene)
+    for kind in ("torus", "sphere"):
+        np.testing.assert_allclose(
+            np.asarray(g_c.prim_params[kind]),
+            np.asarray(g_d.prim_params[kind]), atol=2e-3,
+            err_msg=f"grad mismatch for {kind}")

@@ -2,8 +2,11 @@
 """Stage-level timing of the benchmark render: primary march, shadow
 marches, normals/material resolve, shading. Also march step statistics
 and cull candidate counts. Run on the TPU."""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +55,20 @@ def main():
     perm, _inv = _block_perm(SIZE, SIZE)
     flat = jax.tree.map(lambda x: x[perm], flat)
 
-    march_j = jax.jit(lambda s, r: march(s, r, mcfg))
+    TILE = 65536
+
+    def tiled(fn):
+        """Apply fn over 64k-ray tiles of a flat Rays batch (+extras) via
+        lax.map, like render._trace_tiled."""
+        def run(s, r, *extra):
+            chunk = jax.tree.map(
+                lambda x: x.reshape((-1, TILE) + x.shape[1:]), (r,) + extra)
+            return jax.lax.map(lambda c: fn(s, *c), chunk)
+        return jax.jit(run)
+
+    march_j = tiled(lambda s, r: march(s, r, mcfg))
     res, t_march = timed("primary march", march_j, scene, flat)
+    res = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), res)
 
     steps = np.asarray(res.steps).reshape(-1, 1024)
     hit = np.asarray(res.hit)
@@ -62,23 +77,24 @@ def main():
           f"p90 {np.percentile(steps[:, 0], 90):.0f} max {steps[:, 0].max()}")
 
     # normals + material at hit points
-    def normal_mat(s, r, res):
-        pos = r.at(res.t - r.epsilon)
+    def normal_mat(s, r, rr):
+        pos = r.at(rr.t - r.epsilon)
         n = sdf.scene_normal(s, pos)
         midx, alb = sdf.material_at(s, pos)
         return n, midx, alb
-    nm_j = jax.jit(normal_mat)
-    (nrm, midx, alb), t_nm = timed("normal + material_at", nm_j, scene, flat, res)
+    nm_j = tiled(normal_mat)
+    _, t_nm = timed("normal + material_at", nm_j, scene, flat, res)
 
     # one full surface_hit + shade (includes 2 shadow marches)
-    trace_j = jax.jit(lambda s, r: shade.trace(s, r, mcfg))
+    trace_j = tiled(lambda s, r: shade.trace(s, r, mcfg))
     _, t_trace = timed("full trace (march+nm+2 shadows)", trace_j, scene, flat)
 
     # shadow marches alone: reconstruct the shadow rays of light 0/1
-    hitinfo = jax.jit(lambda s, r: shade.surface_hit(s, r, mcfg))(scene, flat)
+    hitinfo = tiled(lambda s, r: shade.surface_hit(s, r, mcfg))(scene, flat)
+    hitinfo = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), hitinfo)
     jax.block_until_ready(hitinfo)
     for i in range(scene.num_lights):
-        def shadow(s, hi, r, i=i):
+        def shadow(s, r, hi, i=i):
             ldir, budget, _ = shade.light_dir_and_dist(s, i, hi.position)
             cos = jnp.sum(hi.normal * ldir, axis=-1)
             facing = hi.hit & (cos > 0.0)
@@ -86,8 +102,8 @@ def main():
                                length=jnp.where(facing, budget, 0.0),
                                epsilon=r.epsilon)
             return march(s, sr, mcfg).hit
-        sh_j = jax.jit(shadow)
-        _, t_sh = timed(f"shadow march light{i}", sh_j, scene, hitinfo, flat)
+        sh_j = tiled(shadow)
+        _, t_sh = timed(f"shadow march light{i}", sh_j, scene, flat, hitinfo)
 
     # full render end to end
     render_j = jax.jit(lambda s, c: ft.render(s, c, cfg))
@@ -98,7 +114,7 @@ def main():
     pairs = mk._cull_pairs(scene.kind_counts, scene.plan, mcfg.cull_threshold)
     if pairs:
         from fraytracer_tpu.ops.march import bound_skip_start
-        t0v, miss0 = bound_skip_start(scene, flat)
+        t0v, miss0, t_exitv = bound_skip_start(scene, flat)
         origin = flat.origin + t0v[:, None] * flat.direction
         length = jnp.where(miss0, 0.0, flat.length - t0v)
         n = origin.shape[0]
