@@ -521,38 +521,57 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     return kernel, n_kinds, slot_gid
 
 
-def _tile_cones(origin: Array, direction: Array, length: Array,
+def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
                 epsilon: Array, grid: int):
     """Per-ray-tile bounding cones: (apex [G,3], axis [G,3], cos_half [G],
-    rho [G] origin spread, max_len [G], margin [G])."""
+    t_min [G], max_len [G], margin [G], any_active [G]).
+
+    Built from the *pre-bound-skip* origins plus the march range
+    ``[t_lo, t_hi]`` measured along each ray from that origin.  Computing
+    the cone from the advanced origins would be wrong at the root-bound
+    silhouette: tiles mixing hit and miss lanes would see origins spread
+    across the whole bounding sphere, inflating ``margin`` until every
+    primitive is a candidate.  Inactive lanes (t_hi<=t_lo: provable miss,
+    padding) are masked out of every statistic."""
     o = origin.reshape(grid, RAY_TILE, 3)
     d = direction.reshape(grid, RAY_TILE, 3)
-    ln = length.reshape(grid, RAY_TILE)
+    lo = t_lo.reshape(grid, RAY_TILE)
+    hi = t_hi.reshape(grid, RAY_TILE)
     ep = epsilon.reshape(grid, RAY_TILE)
 
-    apex = jnp.mean(o, axis=1)                                   # [G,3]
-    rho = jnp.sqrt(jnp.max(
-        jnp.sum((o - apex[:, None, :]) ** 2, axis=-1), axis=1))
-    axis = jnp.sum(d, axis=1)
-    axis = axis / jnp.maximum(
-        jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
-    cos_half = jnp.clip(jnp.min(jnp.sum(d * axis[:, None, :], axis=-1),
-                                axis=1), 1e-3, 1.0)
-    # inactive lanes (length<=0, e.g. padding) must not widen the budget
-    max_len = jnp.max(jnp.maximum(ln, 0.0), axis=1)
-    margin = rho + 2.0 * jnp.max(ep, axis=1) + 1e-3
-    return apex, axis, cos_half, max_len, margin
+    act = (hi > lo).astype(jnp.float32)                          # [G,T]
+    n_act = jnp.sum(act, axis=1)
+    any_active = n_act > 0.0
+    safe_n = jnp.maximum(n_act, 1.0)
+
+    apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]  # [G,3]
+    rho2 = jnp.sum((o - apex[:, None, :]) ** 2, axis=-1)
+    rho = jnp.sqrt(jnp.max(jnp.where(act > 0.0, rho2, 0.0), axis=1))
+    axis = jnp.sum(d * act[..., None], axis=1)
+    norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    axis = jnp.where(norm > 1e-12, axis / jnp.maximum(norm, 1e-12),
+                     jnp.array([0.0, 0.0, 1.0]))
+    cosd = jnp.sum(d * axis[:, None, :], axis=-1)
+    cos_half = jnp.clip(jnp.min(jnp.where(act > 0.0, cosd, 1.0), axis=1),
+                        1e-3, 1.0)
+    t_min = jnp.min(jnp.where(act > 0.0, lo, jnp.inf), axis=1)
+    t_min = jnp.where(any_active, t_min, 0.0)
+    max_len = jnp.max(jnp.where(act > 0.0, hi, 0.0), axis=1)
+    margin = rho + 2.0 * jnp.max(ep * act, axis=1) + 1e-3
+    return apex, axis, cos_half, t_min, max_len, margin, any_active
 
 
-def _cone_candidates(bounds: Array, apex, axis, cos_half, max_len, margin,
-                     m_slots: int):
+def _cone_candidates(bounds: Array, apex, axis, cos_half, t_min, max_len,
+                     margin, any_active, m_slots: int):
     """Conservative cone-vs-bounding-sphere candidate masks.
 
     bounds [Kg,4]; returns (cand_idx [G, M] int32 rows ascending,
     count [G] int32).  A primitive is a candidate iff its (margin-inflated)
     bounding sphere can come within epsilon of ANY ray point of the tile —
     the same conservative role as the reference's per-cell lower-bound
-    filter (SdfBoundary.fs:248-264)."""
+    filter (SdfBoundary.fs:248-264).  ``t_min``/``max_len`` bound the
+    march range along the cone axis (rays start at t>=t_min after the
+    root-bound skip and die at max_len)."""
     c = bounds[None, :, 0:3]                     # [1,Kg,3]
     r = bounds[None, :, 3] + margin[:, None]     # [G,Kg]
     v = c - apex[:, None, :]
@@ -563,7 +582,9 @@ def _cone_candidates(bounds: Array, apex, axis, cos_half, max_len, margin,
     cone_dist = cos_half[:, None] * p - sin_half[:, None] * a
     near = v2 <= r * r
     cand = (near | (cone_dist <= r)) \
-        & (a >= -r) & (a - r <= max_len[:, None])
+        & (a >= (t_min * cos_half)[:, None] - r) \
+        & (a - r <= max_len[:, None]) \
+        & any_active[:, None]
     count = jnp.sum(cand.astype(jnp.int32), axis=-1)
     # stable sort: candidate rows first, ascending row order
     order = jnp.argsort(~cand, axis=-1, stable=True)
@@ -628,11 +649,16 @@ def pallas_march_raw(scene: FlatScene, rays: Rays,
     cull_specs = []
     if pairs:
         from .. import sdf as _sdf
-        origin_p = jnp.pad(origin, ((0, pad), (0, 0)))
+        # cone from the ORIGINAL origins + march range [t0, t0+length]
+        # (advanced origins would smear mixed hit/miss tiles across the
+        # root bound — see _tile_cones)
+        origin_p = jnp.pad(rays.origin, ((0, pad), (0, 0)))
         dir_p = jnp.pad(rays.direction, ((0, pad), (0, 0)))
-        len_p = jnp.pad(length, ((0, pad),), constant_values=-1.0)
+        tlo_p = jnp.pad(t0, ((0, pad),))
+        thi_p = jnp.pad(jnp.where(length > 0.0, t0 + length, t0),
+                        ((0, pad),))
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
-        cones = _tile_cones(origin_p, dir_p, len_p, eps_p, grid)
+        cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid)
         for (_gid, kind, _ki, row_lo, row_hi) in pairs:
             kparams = scene.prim_params[kind][row_lo:row_hi]
             kb = jax.lax.stop_gradient(

@@ -114,7 +114,10 @@ def test_full_render_pallas_matches_jnp():
         width=64, height=64,
         march=MarchConfig(backend="pallas_interpret", max_steps=128,
                           cull=True, cull_threshold=64, cull_m=128))))
-    assert np.abs(a - b).max() < 1e-4
+    # culling prunes far primitives from the min → step sequences differ →
+    # hits land at (slightly) different points inside the epsilon shell;
+    # shading then differs by O(epsilon * curvature), not exactly 0
+    assert np.abs(a - b).max() < 1e-3
 
 
 def test_cull_candidates_conservative(rng):
@@ -130,7 +133,8 @@ def test_cull_candidates_conservative(rng):
     rays = ft.camera_rays(cam, 32, 32, 0.01, 30.0)
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
     grid = flat.origin.shape[0] // RAY_TILE
-    cones = _tile_cones(flat.origin, flat.direction, flat.length,
+    cones = _tile_cones(flat.origin, flat.direction,
+                        jnp.zeros_like(flat.length), flat.length,
                         flat.epsilon, grid)
     bounds = S._prim_bound_rows("torus", scene.prim_params["torus"])
     idx, count = _cone_candidates(bounds, *cones, 64)

@@ -115,12 +115,12 @@ def main():
     if pairs:
         from fraytracer_tpu.ops.march import bound_skip_start
         t0v, miss0, t_exitv = bound_skip_start(scene, flat)
-        origin = flat.origin + t0v[:, None] * flat.direction
-        length = jnp.where(miss0, 0.0, flat.length - t0v)
-        n = origin.shape[0]
+        t_hi = jnp.where(miss0, t0v,
+                         jnp.minimum(flat.length, t_exitv))
+        n = flat.origin.shape[0]
         grid = n // mk.RAY_TILE
-        cones = mk._tile_cones(origin, flat.direction, length, flat.epsilon,
-                               grid)
+        cones = mk._tile_cones(flat.origin, flat.direction, t0v, t_hi,
+                               flat.epsilon, grid)
         for (_g, kind, _ki, lo, hi) in pairs:
             kp = scene.prim_params[kind][lo:hi]
             kb = sdf._prim_bound_rows(kind, kp)
