@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.flatten import FlatScene
-from ..types import MarchResult, Rays, dot
+from ..types import MarchResult, Rays, dot, normalize
 from . import sdf
 
 Array = jax.Array
@@ -69,6 +69,16 @@ class MarchConfig:
     # landing point and continue.  1.0 disables.  Never skips a surface the
     # conservative march would hit.
     relax_omega: float = 1.0
+    # Axial candidate-window clamp (pallas backend): primitives provably
+    # farther than this from every active ray point are skipped per step
+    # and replaced by a per-lane lower-bound cap (the position-dependent
+    # pruning analog of the reference grid's sorted lower bounds,
+    # SdfBoundary.fs:266-282).  Effective clamp = max(this, 8·epsilon).
+    cull_window_clamp: float = 0.5
+    # Fused surface pass (pallas backend): compute analytic normals and the
+    # CSG-aware material argmin inside the march kernel instead of a
+    # second dense pass over the scene.
+    fuse_surface: bool = True
 
 
 def bound_skip_start(scene: FlatScene, rays: Rays,
@@ -179,55 +189,74 @@ def _march_cvjp_fwd(scene, rays, sign, cfg):
     return raw, (scene, rays, sign, raw)
 
 
-def _march_cvjp_bwd(cfg, residuals, ct: MarchResult):
-    """Implicit-differentiation VJP at the converged hit point (module
-    docstring): computed ONLY under reverse-mode AD — forward-only renders
-    pay nothing beyond the raw march."""
-    scene, rays, sign, raw = residuals
+def _culled_scene_d(scene, rays, raw, cfg, batch):
+    """Scene-distance closure for the backward pass: per-tile candidate
+    lists around the hit points when culling is on (ops/point_eval.py),
+    dense otherwise.  Selection is fixed under stop_gradient; the closure
+    stays differentiable w.r.t. both scene and query points."""
     sg = jax.lax.stop_gradient
-    t0 = sg(raw.t)
-    signv = None if sign.ndim == 0 else sg(sign)
-    batch = raw.t.shape
-
-    x0 = sg(rays.origin) + t0[..., None] * sg(rays.direction)
-
-    # big-scene fast path: evaluate the implicit-function VJP over per-tile
-    # candidate lists instead of every primitive (ops/point_eval.py);
-    # candidate selection happens here, outside the differentiated closures
-    built = None
-    if cfg.cull and cfg.backend.startswith("pallas") and signv is None:
+    x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
+    if cfg.cull and cfg.backend.startswith("pallas"):
         from .point_eval import build_culled_eval
         built = build_culled_eval(scene, x0.reshape(-1, 3),
                                   sg(raw.hit).reshape(-1),
                                   m=cfg.cull_m, threshold=cfg.cull_threshold)
+        if built is not None:
+            dist_fn, _mat_fn, tile_of, nn = built
 
-    if built is not None:
-        dist_fn, _mat_fn, tile_of, nn = built
+            def scene_d(sc, x):
+                return dist_fn(sc, tile_of(x.reshape(-1, 3))) \
+                    .reshape(-1)[:nn].reshape(batch)
+            return scene_d, x0
 
-        def scene_d(sc, x):
-            return dist_fn(sc, tile_of(x.reshape(-1, 3))) \
-                .reshape(-1)[:nn].reshape(batch)
-    else:
-        def scene_d(sc, x):
-            return sdf.scene_distance(sc, x)
+    return (lambda sc, x: sdf.scene_distance(sc, x)), x0
+
+
+def _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg):
+    """sg(∇f·d̂) with the grazing-hit guard (module docstring)."""
+    sg = jax.lax.stop_gradient
+    gradx = sg(jax.grad(lambda q: jnp.sum(scene_d(sg(scene), q)))(x0))
+    if signv is not None:
+        gradx = signv[..., None] * gradx
+    denom = dot(gradx, sg(rays.direction))
+    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), cfg.min_denom)
+    return jnp.where(denom == 0.0, cfg.min_denom, denom)
+
+
+def _t_bwd(cfg, scene, rays, signv, raw, scene_d, x0, ct_t):
+    """Cotangent of the hit distance t → (scene, origin, direction) bars via
+    implicit differentiation (module docstring)."""
+    sg = jax.lax.stop_gradient
+    t0 = sg(raw.t)
 
     def f_at(scene, origin, direction):
         x = origin + t0[..., None] * direction
         f = scene_d(scene, x)
         return signv * f if signv is not None else f
 
-    gradx = sg(jax.grad(lambda q: jnp.sum(scene_d(sg(scene), q)))(x0))
-    if signv is not None:
-        gradx = signv[..., None] * gradx
-    denom = dot(gradx, sg(rays.direction))
-    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), cfg.min_denom)
-    denom = jnp.where(denom == 0.0, cfg.min_denom, denom)
-
+    denom = _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg)
     # dt = -(df)/denom on hit lanes; hit/distance/steps outputs carry no
     # gradient (hit is boolean; distance is reported for diagnostics)
-    scale = jnp.where(raw.hit, -ct.t / denom, 0.0)
+    scale = jnp.where(raw.hit, -ct_t / denom, 0.0)
     _f, vjp = jax.vjp(f_at, scene, rays.origin, rays.direction)
-    bar_scene, bar_o, bar_d = vjp(scale)
+    return vjp(scale)
+
+
+def _march_cvjp_bwd(cfg, residuals, ct: MarchResult):
+    """Implicit-differentiation VJP at the converged hit point (module
+    docstring): computed ONLY under reverse-mode AD — forward-only renders
+    pay nothing beyond the raw march."""
+    scene, rays, sign, raw = residuals
+    sg = jax.lax.stop_gradient
+    signv = None if sign.ndim == 0 else sg(sign)
+    batch = raw.t.shape
+    if signv is None:
+        scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
+    else:
+        scene_d = lambda sc, x: sdf.scene_distance(sc, x)
+        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
+    bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, signv, raw,
+                                     scene_d, x0, ct.t)
     bar_rays = Rays(origin=bar_o, direction=bar_d,
                     length=jnp.zeros_like(rays.length),
                     epsilon=jnp.zeros_like(rays.epsilon))
@@ -246,3 +275,93 @@ def march(scene: FlatScene, rays: Rays,
     surface."""
     sign_arg = jnp.float32(0.0) if sign is None else sign
     return _march_cvjp(scene, rays, sign_arg, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Fused march + surface info (normals, CSG-aware material argmin)
+# ---------------------------------------------------------------------------
+
+def _surf_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig):
+    """Non-differentiable fused march+surface via the Pallas kernel."""
+    from .pallas.march_kernel import pallas_march_raw
+    batch = rays.batch_shape
+    flat = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
+    res, normal, midx = pallas_march_raw(
+        scene, flat, cfg, interpret=(cfg.backend == "pallas_interpret"),
+        want_surface=True)
+    res = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), res)
+    return (res, normal.reshape(batch + (3,)), midx.reshape(batch))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _march_surf_cvjp(scene: FlatScene, rays: Rays, cfg: MarchConfig):
+    return _surf_raw(scene, rays, cfg)
+
+
+def _march_surf_fwd(scene, rays, cfg):
+    out = _march_surf_cvjp(scene, rays, cfg)
+    return out, (scene, rays, out[0])
+
+
+def _march_surf_bwd(cfg, residuals, ct):
+    """Backward of the fused march+surface: the t cotangent goes through
+    the implicit-diff formula; the normal cotangent goes through a
+    differentiable recompute ``n = normalize(∇f)(scene, o + (t(scene)-ε)d)``
+    where t(scene) is the same implicit reparameterization — so gradients
+    are identical to the unfused (march → point_eval normal) chain without
+    re-running the kernel."""
+    scene, rays, raw = residuals
+    ct_res, ct_n, _ct_m = ct
+    sg = jax.lax.stop_gradient
+    batch = raw.t.shape
+    scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
+
+    bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, None, raw,
+                                     scene_d, x0, ct_res.t)
+
+    t_star = sg(raw.t)
+    denom = _implicit_t_denom(scene, rays, scene_d, x0, None, cfg)
+
+    def nfn(sc, o, d):
+        x = o + t_star[..., None] * d
+        f0 = scene_d(sc, x)
+        # reattach t by the implicit-diff reparameterization (docstring)
+        t_diff = t_star - (f0 - sg(f0)) / denom
+        p = o + (t_diff - rays.epsilon)[..., None] * d
+        g = jax.grad(lambda q: jnp.sum(scene_d(sc, q)))(p)
+        return normalize(g)
+
+    ct_n_hit = jnp.where(sg(raw.hit)[..., None], ct_n, 0.0)
+    _n, vjp = jax.vjp(nfn, scene, rays.origin, rays.direction)
+    n_scene, n_o, n_d = vjp(ct_n_hit)
+
+    bar_scene = jax.tree.map(jnp.add, bar_scene, n_scene)
+    bar_rays = Rays(origin=bar_o + n_o, direction=bar_d + n_d,
+                    length=jnp.zeros_like(rays.length),
+                    epsilon=jnp.zeros_like(rays.epsilon))
+    return bar_scene, bar_rays
+
+
+_march_surf_cvjp.defvjp(_march_surf_fwd, _march_surf_bwd)
+
+
+def march_surface(scene: FlatScene, rays: Rays,
+                  cfg: MarchConfig = MarchConfig()):
+    """March + shading-ready surface info in one pass.
+
+    Returns ``(MarchResult, normal [..., 3], material_index [...])`` — the
+    analytic unit normal at the backed-off hit point (SdfForm.fs:106-115,
+    exact gradient instead of 4-tap FD) and the CSG-aware winning material
+    (argmin over material-visible primitives, SdfObject.fs:26-64; -1 on
+    miss).  On the Pallas backend with ``cfg.fuse_surface`` this is a
+    single fused kernel; ``t`` and ``normal`` stay differentiable via a
+    custom VJP.  Other backends fall back to march + dense evaluation.
+    """
+    if cfg.backend.startswith("pallas") and cfg.fuse_surface:
+        return _march_surf_cvjp(scene, rays, cfg)
+    res = march(scene, rays, cfg)
+    pos = rays.at(res.t - rays.epsilon)
+    normal = sdf.scene_normal(scene, pos)
+    midx, _alb = sdf.material_at(scene, pos)
+    return res, normal, jnp.where(res.hit, midx, -1)

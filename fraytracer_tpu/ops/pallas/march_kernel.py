@@ -1,20 +1,37 @@
-"""Fused Pallas TPU sphere-march kernel.
+"""Fused Pallas TPU sphere-march kernel (v2: axial candidate windows).
 
-SURVEY.md §7 stage 3: the hot loop — (SDF eval over all primitives → CSG
+SURVEY.md §7 stage 3: the hot loop — (SDF eval over primitives → CSG
 combine → masked step) iterated until every ray in the tile converges —
-fused into one kernel with all state resident in VMEM:
+fused into one kernel with all state resident in VMEM.
 
-* ray tiles of R rays; each ray coordinate is a separate [R] vector
-  (structure-of-arrays) so every elementwise op runs as clean [R, K]
-  VPU tiles — no padded 3-vectors anywhere;
-* primitive parameter matrices live in VMEM for the whole march (the
-  benchmark scene's 1000 tori ≈ 32 KB);
-* primitives are evaluated in chunks of ≤128 lanes; each CSG *group*
-  (a plan node's primitive set) folds its chunk reduction into a running
-  accumulator, so the full [R, K] distance matrix never materializes;
-* the march loop is an in-kernel ``while_loop`` with a tile-level
-  early-exit vote (``any(active)``), mirroring the reference's
-  per-ray tail recursion (SdfForm.fs:93-104) in lockstep.
+Architecture (v2 — the position-dependent pruning round):
+
+* ray tiles of 1024 rays; each ray coordinate is one (8, 128) f32 vreg
+  (structure-of-arrays), so per-candidate math runs at full lane density;
+* large homogeneous union groups are pruned per tile by a conservative
+  cone-vs-bounding-sphere test (the TPU analog of the reference's uniform
+  grid, SdfBoundary.fs:225-282), and the surviving candidates are sorted
+  by their position along the tile's cone axis;
+* **each march step evaluates only an axial window of that list**: from
+  the tile's live t-range the kernel derives, per step, which candidates
+  can possibly be within ``window_clamp`` of any active ray point —
+  everything provably behind or ahead is skipped, and the skipped mass
+  contributes a per-lane lower-bound cap ``min(AH - t, t·cosθ - BH)`` so
+  steps through empty space stay long.  This is the reference grid's
+  "sorted nearest-first with precomputed lower bounds" idea
+  (SdfBoundary.fs:266-282) re-expressed along the ray axis;
+* candidates are evaluated one per loop iteration as **scalar-broadcast
+  math over the whole (8, 128) ray vreg** — per-step cost is proportional
+  to the live window (typically 2-15 primitives), not to a padded
+  candidate capacity;
+* small non-culled groups (the CSG scene's bounding spheres) evaluate the
+  same scalar-broadcast way; large non-culled groups fall back to chunked
+  [8, 128, C] sweeps;
+* an optional fused **surface pass** runs once after the march: analytic
+  normals (in-kernel AD of the same candidate evaluation) and the
+  CSG-aware winning material (argmin over material-visible primitives,
+  SdfObject.fs:26-64) — eliminating the separate dense normal/material
+  stages.
 
 The kernel is generated per scene *structure* (plan + kind layout — static,
 cached); parameters stay runtime arrays, so scene edits and gradients don't
@@ -23,7 +40,7 @@ recompile.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...scene.flatten import FlatScene, Plan
+from ...scene.flatten import FlatScene, Plan, PARAM_WIDTH, visible_materials
 from ...types import MarchResult, Rays
 from ..march import MarchConfig, bound_skip_start
 
@@ -40,33 +57,29 @@ Array = jax.Array
 RAY_SUB = 8        # ray sublanes per kernel instance
 RAY_LANE = 128     # ray lanes
 RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance (8 × 128 vreg)
-PRIM_CHUNK = 128   # primitive lanes per inner-loop chunk
+PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
+DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
 _BIG = 3.0e38
 
 
 # ---------------------------------------------------------------------------
-# SoA distance evaluation: params [Kc, P] + ray coords ([8,128,1] each)
-# -> [8, 128, Kc].  Same math as ops.sdf (semantics cited there);
-# reformulated so rays live on (sublane, lane) vregs and primitives on a
-# trailing broadcast axis — reductions over the prim axis land back on
-# clean (8,128) vregs (Mosaic-friendly while_loop carries).
+# Generic per-kind distance math.  Written once over an accessor ``g(j)``
+# that yields the j-th parameter as either a scalar (candidate loop) or a
+# [1, 1, Kc] column (chunked sweeps); rays are (8, 128) vregs (px, py, pz).
+# Same semantics as ops.sdf (reference formulas cited there).
 # ---------------------------------------------------------------------------
 
-def _col(params: Array, j: int) -> Array:
-    return params[:, j].reshape(1, 1, -1)  # [1, 1, Kc]
+def _d_sphere_gen(g, px, py, pz):
+    dx = px - g(0)
+    dy = py - g(1)
+    dz = pz - g(2)
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-20) - g(3)
 
 
-def _d_sphere_soa(params, px, py, pz):
-    dx = px - _col(params, 0)
-    dy = py - _col(params, 1)
-    dz = pz - _col(params, 2)
-    return jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-20) - _col(params, 3)
-
-
-def _d_capsule_soa(params, px, py, pz):
-    ax, ay, az = _col(params, 0), _col(params, 1), _col(params, 2)
-    bx, by, bz = _col(params, 3), _col(params, 4), _col(params, 5)
-    r = _col(params, 6)
+def _d_capsule_gen(g, px, py, pz):
+    ax, ay, az = g(0), g(1), g(2)
+    bx, by, bz = g(3), g(4), g(5)
+    r = g(6)
     bax, bay, baz = bx - ax, by - ay, bz - az
     pax, pay, paz = px - ax, py - ay, pz - az
     denom = jnp.maximum(bax * bax + bay * bay + baz * baz, 1e-20)
@@ -75,12 +88,13 @@ def _d_capsule_soa(params, px, py, pz):
     return jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-20) - r
 
 
-def _d_torus_soa(params, px, py, pz):
-    cx, cy, cz = _col(params, 0), _col(params, 1), _col(params, 2)
-    nx, ny, nz = _col(params, 3), _col(params, 4), _col(params, 5)
-    R, r = _col(params, 6), _col(params, 7)
-    ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
-    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+def _d_torus_gen(g, px, py, pz, unit_axis=False):
+    cx, cy, cz = g(0), g(1), g(2)
+    nx, ny, nz = g(3), g(4), g(5)
+    R, r = g(6), g(7)
+    if not unit_axis:
+        ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
     qx, qy, qz = px - cx, py - cy, pz - cz
     h = qx * nx + qy * ny + qz * nz
     q2 = qx * qx + qy * qy + qz * qz
@@ -88,30 +102,26 @@ def _d_torus_soa(params, px, py, pz):
     return jnp.sqrt(h * h + radial * radial + 1e-20) - r
 
 
-def _d_box_soa(params, px, py, pz):
-    cx, cy, cz = _col(params, 0), _col(params, 1), _col(params, 2)
-    hx, hy, hz = _col(params, 3), _col(params, 4), _col(params, 5)
-    r = _col(params, 6)
-    qx = jnp.abs(px - cx) - hx
-    qy = jnp.abs(py - cy) - hy
-    qz = jnp.abs(pz - cz) - hz
+def _d_box_gen(g, px, py, pz):
+    qx = jnp.abs(px - g(0)) - g(3)
+    qy = jnp.abs(py - g(1)) - g(4)
+    qz = jnp.abs(pz - g(2)) - g(5)
     ox = jnp.maximum(qx, 0.0)
     oy = jnp.maximum(qy, 0.0)
     oz = jnp.maximum(qz, 0.0)
     outside = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-20)
     inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-    return outside + inside - r
+    return outside + inside - g(6)
 
 
-def _d_plane_soa(params, px, py, pz):
-    return (px * _col(params, 0) + py * _col(params, 1)
-            + pz * _col(params, 2) - _col(params, 3))
+def _d_plane_gen(g, px, py, pz):
+    return px * g(0) + py * g(1) + pz * g(2) - g(3)
 
 
-def _d_cone_soa(params, px, py, pz):
-    ax, ay, az = _col(params, 0), _col(params, 1), _col(params, 2)
-    bx, by, bz = _col(params, 3), _col(params, 4), _col(params, 5)
-    ra, rb = _col(params, 6), _col(params, 7)
+def _d_cone_gen(g, px, py, pz):
+    ax, ay, az = g(0), g(1), g(2)
+    bx, by, bz = g(3), g(4), g(5)
+    ra, rb = g(6), g(7)
     rba = rb - ra
     bax, bay, baz = bx - ax, by - ay, bz - az
     baba = jnp.maximum(bax * bax + bay * bay + baz * baz, 1e-20)
@@ -130,9 +140,11 @@ def _d_cone_soa(params, px, py, pz):
                                     cbx * cbx + cby * cby * baba) + 1e-20)
 
 
-def _d_triangle_soa(params, px, py, pz):
-    v = [_col(params, j) for j in range(10)]
-    v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z, r = v
+def _d_triangle_gen(g, px, py, pz):
+    v1x, v1y, v1z = g(0), g(1), g(2)
+    v2x, v2y, v2z = g(3), g(4), g(5)
+    v3x, v3y, v3z = g(6), g(7), g(8)
+    r = g(9)
     e1x, e1y, e1z = v2x - v1x, v2y - v1y, v2z - v1z   # v21
     e2x, e2y, e2z = v3x - v2x, v3y - v2y, v3z - v2z   # v32
     e3x, e3y, e3z = v1x - v3x, v1y - v3y, v1z - v3z   # v13
@@ -157,7 +169,6 @@ def _d_triangle_soa(params, px, py, pz):
                     seg_d2(e3x, e3y, e3z, p3x, p3y, p3z)))
 
     def half_sign(ex, ey, ez, qx, qy, qz):
-        # sign(dot(cross(edge, nor), q))
         cx_ = ey * nz - ez * ny
         cy_ = ez * nx - ex * nz
         cz_ = ex * ny - ey * nx
@@ -172,11 +183,42 @@ def _d_triangle_soa(params, px, py, pz):
     return jnp.sqrt(jnp.where(s >= 2.0, d2f, d2e) + 1e-20) - r
 
 
-_SOA_FNS = {
-    "sphere": _d_sphere_soa, "capsule": _d_capsule_soa, "torus": _d_torus_soa,
-    "triangle": _d_triangle_soa, "box": _d_box_soa, "cone": _d_cone_soa,
-    "plane": _d_plane_soa,
+_GEN_FNS = {
+    "sphere": _d_sphere_gen, "capsule": _d_capsule_gen,
+    "torus": _d_torus_gen, "triangle": _d_triangle_gen,
+    "box": _d_box_gen, "cone": _d_cone_gen, "plane": _d_plane_gen,
 }
+
+
+def _soa_fn(kind):
+    """Chunked evaluator: params [Kc, P] + (8,128,1) coords → [8,128,Kc]."""
+    fn = _GEN_FNS[kind]
+
+    def soa(params, px3, py3, pz3):
+        return fn(lambda j: params[:, j].reshape(1, 1, -1), px3, py3, pz3)
+    return soa
+
+
+def _scalar_fn(kind, prepped):
+    """Scalar-broadcast evaluator: tuple of scalars + (8,128) coords →
+    (8,128).  ``prepped`` rows come from :func:`_prep_rows` (e.g. torus
+    axes pre-normalized host-side)."""
+    fn = _GEN_FNS[kind]
+    if kind == "torus":
+        return lambda s, px, py, pz: fn(lambda j: s[j], px, py, pz,
+                                        unit_axis=prepped)
+    return lambda s, px, py, pz: fn(lambda j: s[j], px, py, pz)
+
+
+def _prep_rows(kind: str, params: Array) -> Array:
+    """Host-side candidate-row preprocessing: fold per-step invariants into
+    the gathered parameter table (torus: normalize the axis so the kernel
+    skips the per-step rsqrt)."""
+    if kind == "torus":
+        n = params[:, 3:6]
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
+        return jnp.concatenate([params[:, 0:3], n, params[:, 6:]], axis=-1)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +272,7 @@ def _build_groups(plan: Plan):
 
 
 # ---------------------------------------------------------------------------
-# Kernel builder
+# Static cull-pair selection
 # ---------------------------------------------------------------------------
 
 
@@ -271,61 +313,247 @@ def _cull_pairs(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     return tuple(pairs)
 
 
+# ---------------------------------------------------------------------------
+# Per-tile cones + axially-sorted candidate selection (host side)
+# ---------------------------------------------------------------------------
+
+class TileCones(NamedTuple):
+    """Per-ray-tile bounding cone statistics (all [G] or [G, 3])."""
+
+    apex: Array        # [G, 3] mean active origin
+    axis: Array        # [G, 3] unit mean direction
+    cos_half: Array    # [G] cone half-angle cosine, clipped ≥ 1e-3 (width)
+    cos_lo: Array      # [G] unclipped-above-0 min direction·axis (sound
+    #                    lower bound for axial-projection arguments)
+    t_min: Array       # [G] smallest march-entry t over active lanes
+    max_len: Array     # [G] largest march-exit t over active lanes
+    margin: Array      # [G] lateral slack: origin spread + 2·eps
+    any_active: Array  # [G] bool
+    o_off_lo: Array    # [G] min over active lanes of (origin-apex)·axis
+    o_off_hi: Array    # [G] max of the same
+    eps_max: Array     # [G] largest epsilon over active lanes
+
+
+def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
+                epsilon: Array, grid: int) -> TileCones:
+    """Per-ray-tile bounding cones.
+
+    Built from the *pre-bound-skip* origins plus the march range
+    ``[t_lo, t_hi]`` measured along each ray from that origin.  Computing
+    the cone from advanced origins would be wrong at the root-bound
+    silhouette: tiles mixing hit and miss lanes would see origins spread
+    across the whole bounding sphere, inflating ``margin`` until every
+    primitive is a candidate.  Inactive lanes (t_hi<=t_lo: provable miss,
+    padding) are masked out of every statistic."""
+    o = origin.reshape(grid, RAY_TILE, 3)
+    d = direction.reshape(grid, RAY_TILE, 3)
+    lo = t_lo.reshape(grid, RAY_TILE)
+    hi = t_hi.reshape(grid, RAY_TILE)
+    ep = epsilon.reshape(grid, RAY_TILE)
+
+    act = (hi > lo).astype(jnp.float32)                          # [G,T]
+    n_act = jnp.sum(act, axis=1)
+    any_active = n_act > 0.0
+    safe_n = jnp.maximum(n_act, 1.0)
+
+    apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]  # [G,3]
+    rho2 = jnp.sum((o - apex[:, None, :]) ** 2, axis=-1)
+    rho = jnp.sqrt(jnp.max(jnp.where(act > 0.0, rho2, 0.0), axis=1))
+    axis = jnp.sum(d * act[..., None], axis=1)
+    norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    axis = jnp.where(norm > 1e-12, axis / jnp.maximum(norm, 1e-12),
+                     jnp.array([0.0, 0.0, 1.0]))
+    cosd = jnp.sum(d * axis[:, None, :], axis=-1)
+    cos_min = jnp.min(jnp.where(act > 0.0, cosd, 1.0), axis=1)
+    # cone-width cosine: clipped away from 0 (the sin/cos split below needs
+    # it); axial-projection cosine: floored at 0 only, so lower bounds like
+    # t·cos_lo stay sound for arbitrarily divergent tiles (advisor round 1)
+    cos_half = jnp.clip(cos_min, 1e-3, 1.0)
+    cos_lo = jnp.clip(cos_min, 0.0, 1.0)
+    o_off = jnp.sum((o - apex[:, None, :]) * axis[:, None, :], axis=-1)
+    o_off_lo = jnp.min(jnp.where(act > 0.0, o_off, _BIG), axis=1)
+    o_off_hi = jnp.max(jnp.where(act > 0.0, o_off, -_BIG), axis=1)
+    o_off_lo = jnp.where(any_active, o_off_lo, 0.0)
+    o_off_hi = jnp.where(any_active, o_off_hi, 0.0)
+    t_min = jnp.min(jnp.where(act > 0.0, lo, jnp.inf), axis=1)
+    t_min = jnp.where(any_active, t_min, 0.0)
+    max_len = jnp.max(jnp.where(act > 0.0, hi, 0.0), axis=1)
+    eps_max = jnp.max(ep * act, axis=1)
+    margin = rho + 2.0 * eps_max + 1e-3
+    return TileCones(apex, axis, cos_half, cos_lo, t_min, max_len, margin,
+                     any_active, o_off_lo, o_off_hi, eps_max)
+
+
+class CandSelect(NamedTuple):
+    """Axially-sorted per-tile candidate selection."""
+
+    idx: Array      # [G, M] int32 candidate rows, ascending axial position
+    count: Array    # [G] int32 true candidate count (may exceed M: overflow)
+    lo_key: Array   # [G, M] f32: axial far edge  (a + r - o_off_lo + slack)
+    hi_key: Array   # [G, M] f32: axial near edge (a - r - o_off_hi - slack)
+
+
+def _cone_candidates(bounds: Array, cones: TileCones,
+                     m_slots: int) -> CandSelect:
+    """Conservative cone-vs-bounding-sphere candidate selection, sorted by
+    axial position along the tile cone.
+
+    ``bounds [Kg, 4]``.  A primitive is a candidate iff its
+    (margin-inflated) bounding sphere can come within epsilon of ANY ray
+    point of the tile — the same conservative role as the reference's
+    per-cell lower-bound filter (SdfBoundary.fs:248-264).  The march range
+    along the axis is bounded with the *unclipped* direction cosine
+    ``cos_lo`` (sound for divergent tiles) plus the origin axial offsets.
+
+    The returned ``lo_key``/``hi_key`` drive the kernel's per-step axial
+    window: a candidate is provably ≥ clamp away from every active ray
+    point whenever ``lo_key < τ_lo·cos_lo - clamp`` (entirely behind) or
+    ``hi_key > τ_hi + clamp`` (entirely ahead); see the kernel docstring
+    for the derivation.  Non-candidates sort to the end with keys ≈ +BIG
+    (always "ahead" → never evaluated)."""
+    c = bounds[None, :, 0:3]                     # [1,Kg,3]
+    r_act = bounds[None, :, 3]                   # [1,Kg]
+    r = r_act + cones.margin[:, None]            # [G,Kg] inflated
+    v = c - cones.apex[:, None, :]
+    a = jnp.sum(v * cones.axis[:, None, :], axis=-1)   # [G,Kg]
+    v2 = jnp.sum(v * v, axis=-1)
+    p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
+    cone_dist = cones.cos_half[:, None] * p - sin_half[:, None] * a
+    near = v2 <= r * r
+    cand = (near | (cone_dist <= r)) \
+        & (a + r >= (cones.t_min * cones.cos_lo + cones.o_off_lo)[:, None]) \
+        & (a - r <= (cones.max_len + cones.o_off_hi)[:, None]) \
+        & cones.any_active[:, None]
+    count = jnp.sum(cand.astype(jnp.int32), axis=-1)
+
+    m = min(m_slots, bounds.shape[0])
+    key = jnp.where(cand, a, _BIG)
+    neg_key, idx = jax.lax.top_k(-key, m)        # ascending by axial a
+    a_g = -neg_key                               # [G, m]
+    r_g = bounds[:, 3][idx]
+    lo_key = a_g + r_g - cones.o_off_lo[:, None] + 1e-3
+    hi_key = a_g - r_g - cones.o_off_hi[:, None] - 1e-3
+    return CandSelect(idx.astype(jnp.int32), count, lo_key, hi_key)
+
+
+# ---------------------------------------------------------------------------
+# Kernel builder
+# ---------------------------------------------------------------------------
+
+def _pair_window(keys_ref, t, lane_mask, slots: int):
+    """Per-step axial candidate window for one culled pair.
+
+    From the live t-range of the tile, derive [w_lo, w_hi) over the
+    axially-sorted candidate list plus the per-lane lower-bound cap for
+    everything skipped.  Soundness (clamp > epsilon everywhere):
+
+    * behind: every active point has axial coord ≥ o_off_lo + τ_lo·cos_lo,
+      so a candidate with ``lo_key = a + r - o_off_lo < τ_lo·cos_lo - clamp``
+      is > clamp from every active point; its distance is further lower-
+      bounded per lane by ``t·cos_lo - BH``;
+    * ahead: every active point has axial coord ≤ o_off_hi + τ, so
+      ``hi_key = a - r - o_off_hi > τ_hi + clamp`` is > clamp away, lower-
+      bounded per lane by ``AH - t``.
+
+    The march steps by ``min(window min, cap)`` — never more than the true
+    scene distance, and a skipped primitive can never be within epsilon
+    (clamp ≥ 8·epsilon), so hits and misses are exactly those of the
+    unpruned march.
+    """
+    count = keys_ref[0, 2, 0]
+    cos_lo = keys_ref[0, 2, 1]
+    clamp = keys_ref[0, 2, 2]
+    lo_k = keys_ref[0, 0:1, :]                         # (1, M)
+    hi_k = keys_ref[0, 1:2, :]
+    tau_lo = jnp.min(jnp.where(lane_mask, t, _BIG))
+    tau_hi = jnp.max(jnp.where(lane_mask, t, -_BIG))
+    behind = lo_k < tau_lo * cos_lo - clamp
+    ahead = hi_k > tau_hi + clamp
+    rel = jnp.logical_not(behind) & jnp.logical_not(ahead)
+    idxv = jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1)
+    w_lo = jnp.min(jnp.where(rel, idxv, slots))
+    w_hi = jnp.max(jnp.where(rel, idxv + 1, 0))
+    BH = jnp.max(jnp.where(behind, lo_k, -_BIG))
+    AH = jnp.min(jnp.where(ahead, hi_k, _BIG))
+    cap = jnp.minimum(AH - t, t * cos_lo - BH)
+    return count, w_lo, w_hi, cap
+
+
 @functools.lru_cache(maxsize=32)
 def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   max_steps: int, prim_chunk: int,
                   cull_pairs: Tuple = (), cull_m: int = 0,
-                  omega: float = 1.0):
-    """Build the pallas kernel fn for a scene structure.  Cached."""
+                  omega: float = 1.0, want_surface: bool = False,
+                  mat_vis: Tuple[int, ...] = ()):
+    """Build the pallas kernel fn for a scene structure.  Cached.
+
+    Returns (kernel, n_kinds, slot_gid, dense_mode) where dense_mode is
+    'scalar' or 'chunk'."""
     groups, tree = _build_groups(plan)
 
-    # rows excluded from the dense chunk sweep (handled by culled passes)
-    culled_rows = {}  # kind -> set of row ranges
+    # rows excluded from the dense sweep (handled by culled passes)
+    culled_rows: Dict[str, list] = {}
     for (_gid, kind, _ki, r0, r1) in cull_pairs:
         culled_rows.setdefault(kind, []).append((r0, r1))
 
     def is_culled(kind, row):
         return any(lo <= row < hi for lo, hi in culled_rows.get(kind, []))
 
-    # static chunk table: (kind, param_ref_index, row0, rows, global_slot0)
-    chunks = []
     kind_index = {k: i for i, (k, _) in enumerate(kind_counts)}
-    slot0 = 0
-    for kind, cnt in kind_counts:
-        r0 = 0
-        while r0 < cnt:
-            if is_culled(kind, r0):
-                hi = next(h for lo, h in culled_rows[kind] if lo <= r0 < h)
-                r0 = hi
-                continue
-            rows = min(prim_chunk, cnt - r0)
-            # stop at a culled-range boundary
-            for lo, _hi in culled_rows.get(kind, []):
-                if r0 < lo < r0 + rows:
-                    rows = lo - r0
-            chunks.append((kind, kind_index[kind], r0, rows, slot0 + r0))
-            r0 += rows
-        slot0 += cnt
+    offsets, off = {}, 0
+    for k, c in kind_counts:
+        offsets[k] = off
+        off += c
 
-    n_kinds = len(kind_counts)
-
-    # slot → owning group id (each primitive belongs to exactly one plan
-    # node).  Passed to the kernel as an int32 input; per-chunk masks are
-    # equality tests against the static gid.
-    slot_gid = np.full(slot0, -1, np.int32)
+    slot_gid = np.full(off, -1, np.int32)
     for g in groups:
         slot_gid[list(g.slots)] = g.gid
-    # static per-group/chunk presence (prunes dead compares at trace time)
+
+    # dense slots: (kind, ki, row, gid, mat) for every non-culled primitive
+    dense_slots = []
+    for kind, cnt in kind_counts:
+        for row in range(cnt):
+            if is_culled(kind, row):
+                continue
+            s = offsets[kind] + row
+            mat = mat_vis[s] if mat_vis else -1
+            dense_slots.append((kind, kind_index[kind], row,
+                                int(slot_gid[s]), mat))
+    dense_mode = "scalar" if len(dense_slots) <= DENSE_SCALAR_MAX else "chunk"
+
+    # chunk tables for dense 'chunk' mode (and material info per chunk)
+    chunks = []
+    if dense_mode == "chunk":
+        slot0 = 0
+        for kind, cnt in kind_counts:
+            r0 = 0
+            while r0 < cnt:
+                if is_culled(kind, r0):
+                    hi = next(h for lo, h in culled_rows[kind]
+                              if lo <= r0 < h)
+                    r0 = hi
+                    continue
+                rows = min(prim_chunk, cnt - r0)
+                for lo, _hi in culled_rows.get(kind, []):
+                    if r0 < lo < r0 + rows:
+                        rows = lo - r0
+                chunks.append((kind, kind_index[kind], r0, rows, slot0 + r0))
+                r0 += rows
+            slot0 += cnt
     group_in_chunk = [
         [bool((slot_gid[gs0:gs0 + rows] == g.gid).any())
          for (_k, _ki, _r0, rows, gs0) in chunks]
         for g in groups
     ]
 
-    def scene_distance_lanes(param_refs, gid_ref, cull_refs, px, py, pz):
-        """(8,128) ray coords → per-ray scene distance (8,128)."""
-        shp = px.shape  # (8, 128)
-        px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+    n_kinds = len(kind_counts)
+    n_pairs = len(cull_pairs)
+    pair_m = [min(cull_m, r1 - r0) for (_g, _k, _ki, r0, r1) in cull_pairs]
+
+    # ---- group accumulator helpers -------------------------------------
+
+    def accs_init(shp):
         accs = []
         for g in groups:
             if g.op == "min":
@@ -334,115 +562,395 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 accs.append(jnp.full(shp, -_BIG))
             else:
                 accs.append(jnp.zeros(shp))
+        return accs
 
-        # culled passes: each big 'min' group reduces over its per-tile
-        # candidate list; overflowed tiles (count > cull_m) fall back to a
-        # full sweep of the group's row range via lax.cond.
+    def fold_value(accs, gid, val):
+        g = groups[gid]
+        if g.op == "min":
+            accs[gid] = jnp.minimum(accs[gid], val)
+        elif g.op == "max":
+            accs[gid] = jnp.maximum(accs[gid], val)
+        else:
+            accs[gid] = accs[gid] + val
+
+    def resolve_groups(accs):
+        out = []
+        for g, a in zip(groups, accs):
+            if g.op == "sumexp":
+                out.append(-g.k * jnp.log(jnp.maximum(a, 1e-30)))
+            else:
+                out.append(a)
+        return out
+
+    def ev_tree(gvals, t):
+        if t[0] == "g":
+            return gvals[t[1]]
+        op, k, kids = t
+        vals = [ev_tree(gvals, x) for x in kids]
+        if op == "subtract":
+            return jnp.maximum(vals[0], -vals[1])
+        if op == "union":
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.minimum(out, v)
+            return out
+        if op == "intersect":
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.maximum(out, v)
+            return out
+        if op == "smooth_union":
+            s = jnp.zeros_like(vals[0])
+            for v in vals:
+                s = s + jnp.exp(-v / k)
+            return -k * jnp.log(jnp.maximum(s, 1e-30))
+        raise ValueError(op)
+
+    # ---- march-time scene distance --------------------------------------
+
+    def scene_distance(param_refs, gid_ref, pair_refs, dense_consts,
+                       px, py, pz, t, active):
+        shp = px.shape
+        accs = accs_init(shp)
+
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
-            cand_ref, count_ref = cull_refs[pi]
-            count = count_ref[0, 0, 0]
-            fn = _SOA_FNS[kind]
+            cand_ref, keys_ref = pair_refs[pi]
+            P = PARAM_WIDTH[kind]
+            fn = _scalar_fn(kind, prepped=True)
+            m = pair_m[pi]
 
-            def culled_pass(_, cand_ref=cand_ref, count=count, fn=fn):
-                def chunk_eval(c0, pc):
-                    rows_p = cand_ref[0, c0:c0 + pc, :]
-                    d = fn(rows_p, px3, py3, pz3)
-                    lane = (jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 1, pc), 2) + c0)
-                    dm = jnp.where(lane < count, d, _BIG)
-                    return jnp.min(dm, axis=-1)
+            def culled_pass(_, cand_ref=cand_ref, keys_ref=keys_ref,
+                            fn=fn, P=P, m=m):
+                _count, w_lo, w_hi, cap = _pair_window(
+                    keys_ref, t, active > 0.0, m)
 
-                acc = chunk_eval(0, min(prim_chunk, cull_m))
-                for c0 in range(prim_chunk, cull_m, prim_chunk):
-                    pc = min(prim_chunk, cull_m - c0)
-                    # dynamic skip: tiles with few candidates pay only the
-                    # first chunk
-                    acc = jnp.minimum(acc, jax.lax.cond(
-                        count > c0,
-                        lambda c0=c0, pc=pc: chunk_eval(c0, pc),
-                        lambda: jnp.full(shp, _BIG)))
-                return acc
+                def body(c, acc):
+                    s = tuple(cand_ref[c, j] for j in range(P))
+                    return jnp.minimum(acc, fn(s, px, py, pz))
 
-            def full_pass(_, ki=ki, row_lo=row_lo, row_hi=row_hi, fn=fn):
+                win = jax.lax.fori_loop(w_lo, w_hi, body,
+                                        jnp.full(shp, _BIG))
+                return jnp.minimum(win, cap)
+
+            def full_pass(_, ki=ki, row_lo=row_lo, row_hi=row_hi,
+                          kind=kind):
+                soa = _soa_fn(kind)
+                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
                 acc = jnp.full(shp, _BIG)
                 for r0 in range(row_lo, row_hi, prim_chunk):
                     rc = min(prim_chunk, row_hi - r0)
                     rows_p = param_refs[ki][r0:r0 + rc, :]
-                    d = fn(rows_p, px3, py3, pz3)
+                    d = soa(rows_p, px3, py3, pz3)
                     acc = jnp.minimum(acc, jnp.min(d, axis=-1))
                 return acc
 
-            gval = jax.lax.cond(count <= cull_m, culled_pass, full_pass, 0)
-            accs[gid] = jnp.minimum(accs[gid], gval)
+            count = pair_refs[pi][1][0, 2, 0]
+            gval = jax.lax.cond(count <= float(m), culled_pass, full_pass, 0)
+            fold_value(accs, gid, gval)
 
-        for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
-            params = param_refs[ki][r0:r0 + rows, :]
-            d = _SOA_FNS[kind](params, px3, py3, pz3)  # [8, 128, rows]
-            gid_chunk = gid_ref[gs0:gs0 + rows].reshape(1, 1, rows)
-            for gi, g in enumerate(groups):
-                if not group_in_chunk[gi][ci]:
-                    continue
-                mask = gid_chunk == g.gid
-                if g.op == "min":
-                    dm = jnp.where(mask, d, _BIG)
-                    accs[gi] = jnp.minimum(accs[gi], jnp.min(dm, axis=-1))
-                elif g.op == "max":
-                    dm = jnp.where(mask, d, -_BIG)
-                    accs[gi] = jnp.maximum(accs[gi], jnp.max(dm, axis=-1))
-                else:  # sumexp for smooth union
-                    dm = jnp.where(mask, jnp.exp(-d / g.k), 0.0)
-                    accs[gi] = accs[gi] + jnp.sum(dm, axis=-1)
-        # resolve sumexp groups into distances
-        gvals = []
-        for g, a in zip(groups, accs):
-            if g.op == "sumexp":
-                gvals.append(-g.k * jnp.log(jnp.maximum(a, 1e-30)))
+        if dense_mode == "scalar":
+            for (kind, s_params, gid, _mat) in dense_consts:
+                fn = _scalar_fn(kind, prepped=False)
+                d = fn(s_params, px, py, pz)
+                if groups[gid].op == "sumexp":
+                    d = jnp.exp(-d / groups[gid].k)
+                fold_value(accs, gid, d)
+        else:
+            px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+            for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
+                params = param_refs[ki][r0:r0 + rows, :]
+                d = _soa_fn(kind)(params, px3, py3, pz3)
+                gid_chunk = gid_ref[gs0:gs0 + rows].reshape(1, 1, rows)
+                for gi, g in enumerate(groups):
+                    if not group_in_chunk[gi][ci]:
+                        continue
+                    mask = gid_chunk == g.gid
+                    if g.op == "min":
+                        dm = jnp.where(mask, d, _BIG)
+                        fold_value(accs, gi, jnp.min(dm, axis=-1))
+                    elif g.op == "max":
+                        dm = jnp.where(mask, d, -_BIG)
+                        fold_value(accs, gi, jnp.max(dm, axis=-1))
+                    else:
+                        dm = jnp.where(mask, jnp.exp(-d / g.k), 0.0)
+                        fold_value(accs, gi, jnp.sum(dm, axis=-1))
+
+        return ev_tree(resolve_groups(accs), tree)
+
+    # ---- surface pass: value + gradient + material ----------------------
+
+    def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
+                     px, py, pz, t, hitm):
+        """At the (backed-off) hit points: per-group (value, ∇value) plus
+        the global material argmin over material-visible primitives.
+        Window bounds come from the hit lanes' t-range; the window clamp
+        doubles as the relevance margin (≥ 8·epsilon ≫ the hit shell), so
+        the local argmin — the only thing normals/materials depend on — is
+        always inside the window."""
+        shp = px.shape
+        ones = jnp.ones(shp)
+        vg = []          # per group: (v, gx, gy, gz) or sumexp partials
+        for g in groups:
+            if g.op == "min":
+                vg.append([jnp.full(shp, _BIG), jnp.zeros(shp),
+                           jnp.zeros(shp), jnp.ones(shp)])
+            elif g.op == "max":
+                vg.append([jnp.full(shp, -_BIG), jnp.zeros(shp),
+                           jnp.zeros(shp), jnp.ones(shp)])
+            else:  # sumexp: (Σe, Σe·gx, Σe·gy, Σe·gz)
+                vg.append([jnp.zeros(shp), jnp.zeros(shp),
+                           jnp.zeros(shp), jnp.zeros(shp)])
+        md = jnp.full(shp, _BIG)     # material argmin distance
+        ms = jnp.full(shp, -1.0)     # material index (f32)
+
+        def fold_vg(gid, d, gx, gy, gz):
+            g = groups[gid]
+            v = vg[gid]
+            if g.op == "min":
+                better = d < v[0]
+                vg[gid] = [jnp.where(better, x, y)
+                           for x, y in zip((d, gx, gy, gz), v)]
+            elif g.op == "max":
+                better = d > v[0]
+                vg[gid] = [jnp.where(better, x, y)
+                           for x, y in zip((d, gx, gy, gz), v)]
             else:
-                gvals.append(a)
+                e = jnp.exp(-d / g.k)
+                vg[gid] = [v[0] + e, v[1] + e * gx, v[2] + e * gy,
+                           v[3] + e * gz]
 
-        def ev(t):
-            if t[0] == "g":
-                return gvals[t[1]]
-            op, k, kids = t
-            vals = [ev(x) for x in kids]
+        def val_grad(fn, s):
+            d, vjp = jax.vjp(lambda ax, ay, az: fn(s, ax, ay, az),
+                             px, py, pz)
+            gx, gy, gz = vjp(ones)
+            return d, gx, gy, gz
+
+        for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
+            cand_ref, keys_ref = pair_refs[pi]
+            P = PARAM_WIDTH[kind]
+            fn = _scalar_fn(kind, prepped=True)
+            m = pair_m[pi]
+            g_op = groups[gid].op
+
+            def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
+                          fn=fn, P=P, m=m, gid=gid):
+                _c, w_lo, w_hi, cap = _pair_window(keys_ref, t, hitm, m)
+
+                def body(c, carry):
+                    bd, bgx, bgy, bgz, md_, ms_ = carry
+                    s = tuple(cand_ref[c, j] for j in range(P))
+                    mat = cand_ref[c, P]
+                    d, gx, gy, gz = val_grad(fn, s)
+                    better = d < bd
+                    bd = jnp.where(better, d, bd)
+                    bgx = jnp.where(better, gx, bgx)
+                    bgy = jnp.where(better, gy, bgy)
+                    bgz = jnp.where(better, gz, bgz)
+                    mb = (d < md_) & (mat >= 0.0)
+                    md_ = jnp.where(mb, d, md_)
+                    ms_ = jnp.where(mb, mat, ms_)
+                    return bd, bgx, bgy, bgz, md_, ms_
+
+                init = (jnp.full(shp, _BIG), jnp.zeros(shp),
+                        jnp.zeros(shp), jnp.ones(shp), md, ms)
+                bd, bgx, bgy, bgz, md_, ms_ = jax.lax.fori_loop(
+                    w_lo, w_hi, body, init)
+                capped = cap < bd
+                bd = jnp.where(capped, cap, bd)
+                bgx = jnp.where(capped, 0.0, bgx)
+                bgy = jnp.where(capped, 0.0, bgy)
+                bgz = jnp.where(capped, 1.0, bgz)
+                return bd, bgx, bgy, bgz, md_, ms_
+
+            def full_sp(_, ki=ki, row_lo=row_lo, row_hi=row_hi, kind=kind):
+                soa = _soa_fn(kind)
+                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+                gslot0 = offsets[kind]
+                bd = jnp.full(shp, _BIG)
+                bgx = jnp.zeros(shp)
+                bgy = jnp.zeros(shp)
+                bgz = jnp.ones(shp)
+                md_, ms_ = md, ms
+                for r0 in range(row_lo, row_hi, prim_chunk):
+                    rc = min(prim_chunk, row_hi - r0)
+                    params = param_refs[ki][r0:r0 + rc, :]
+                    dm, vjp = jax.vjp(
+                        lambda ax, ay, az, params=params, soa=soa:
+                        jnp.min(soa(params, ax[..., None], ay[..., None],
+                                    az[..., None]), axis=-1),
+                        px, py, pz)
+                    gx, gy, gz = vjp(ones)
+                    better = dm < bd
+                    bd = jnp.where(better, dm, bd)
+                    bgx = jnp.where(better, gx, bgx)
+                    bgy = jnp.where(better, gy, bgy)
+                    bgz = jnp.where(better, gz, bgz)
+                    # material: first-argmin one-hot over the chunk
+                    any_mat = any(mat_vis[gslot0 + rr] >= 0
+                                  for rr in range(r0, r0 + rc))
+                    if any_mat:
+                        mats = mat_ref[gslot0 + r0:gslot0 + r0 + rc] \
+                            .reshape(1, 1, rc)
+                        d3 = soa(params, px3, py3, pz3)
+                        dmm = jnp.where(mats >= 0.0, d3, _BIG)
+                        mmin = jnp.min(dmm, axis=-1)
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, rc), 2)
+                        first = jnp.min(
+                            jnp.where(dmm <= mmin[..., None], lane,
+                                      rc), axis=-1)
+                        onehot = lane == first[..., None]
+                        mval = jnp.sum(jnp.where(onehot, mats, 0.0),
+                                       axis=-1)
+                        mb = (mmin < md_) & (mval >= 0.0)
+                        md_ = jnp.where(mb, mmin, md_)
+                        ms_ = jnp.where(mb, mval, ms_)
+                return bd, bgx, bgy, bgz, md_, ms_
+
+            count = pair_refs[pi][1][0, 2, 0]
+            bd, bgx, bgy, bgz, md, ms = jax.lax.cond(
+                count <= float(m), culled_sp, full_sp, 0)
+            fold_vg(gid, bd, bgx, bgy, bgz)
+
+        if dense_mode == "scalar":
+            for (kind, s_params, gid, mat) in dense_consts:
+                fn = _scalar_fn(kind, prepped=False)
+                d, gx, gy, gz = val_grad(fn, s_params)
+                fold_vg(gid, d, gx, gy, gz)
+                if mat >= 0:
+                    mb = d < md
+                    md = jnp.where(mb, d, md)
+                    ms = jnp.where(mb, float(mat), ms)
+        else:
+            px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+            for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
+                params = param_refs[ki][r0:r0 + rows, :]
+                soa = _soa_fn(kind)
+                gid_chunk = gid_ref[gs0:gs0 + rows].reshape(1, 1, rows)
+                for gi, g in enumerate(groups):
+                    if not group_in_chunk[gi][ci]:
+                        continue
+                    maskc = gid_chunk == g.gid
+                    if g.op == "min":
+                        red = lambda d, maskc=maskc: jnp.min(
+                            jnp.where(maskc, d, _BIG), axis=-1)
+                    elif g.op == "max":
+                        red = lambda d, maskc=maskc: jnp.max(
+                            jnp.where(maskc, d, -_BIG), axis=-1)
+                    else:
+                        red = lambda d, k=g.k, maskc=maskc: jnp.sum(
+                            jnp.where(maskc, jnp.exp(-d / k), 0.0), axis=-1)
+                    dm, vjp = jax.vjp(
+                        lambda ax, ay, az, params=params, soa=soa, red=red:
+                        red(soa(params, ax[..., None], ay[..., None],
+                                az[..., None])),
+                        px, py, pz)
+                    gx, gy, gz = vjp(ones)
+                    if g.op == "sumexp":
+                        # vjp of Σe gives -(1/k)·Σe·g; fold expects Σe·g
+                        kk = g.k
+                        vg[gi] = [vg[gi][0] + dm, vg[gi][1] - kk * gx,
+                                  vg[gi][2] - kk * gy, vg[gi][3] - kk * gz]
+                    else:
+                        fold_vg(gi, dm, gx, gy, gz)
+                # material over this chunk
+                any_mat = any(mat_vis[gs0 + rr] >= 0 for rr in range(rows))
+                if any_mat:
+                    mats = mat_ref[gs0:gs0 + rows].reshape(1, 1, rows)
+                    d3 = soa(params, px3, py3, pz3)
+                    dmm = jnp.where(mats >= 0.0, d3, _BIG)
+                    mmin = jnp.min(dmm, axis=-1)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, rows), 2)
+                    first = jnp.min(jnp.where(dmm <= mmin[..., None],
+                                              lane, rows), axis=-1)
+                    onehot = lane == first[..., None]
+                    mval = jnp.sum(jnp.where(onehot, mats, 0.0), axis=-1)
+                    mb = (mmin < md) & (mval >= 0.0)
+                    md = jnp.where(mb, mmin, md)
+                    ms = jnp.where(mb, mval, ms)
+
+        # resolve sumexp groups into (value, grad)
+        gvals = []
+        for g, v in zip(groups, vg):
+            if g.op == "sumexp":
+                s = jnp.maximum(v[0], 1e-30)
+                gvals.append((-g.k * jnp.log(s), v[1] / s, v[2] / s,
+                              v[3] / s))
+            else:
+                gvals.append(tuple(v))
+
+        def ev_g(node):
+            if node[0] == "g":
+                return gvals[node[1]]
+            op, k, kids = node
+            vals = [ev_g(x) for x in kids]
             if op == "subtract":
-                return jnp.maximum(vals[0], -vals[1])
-            if op == "union":
+                (va, ax, ay, az), (vb, bx, by, bz) = vals
+                sel = va > -vb
+                return (jnp.maximum(va, -vb),
+                        jnp.where(sel, ax, -bx),
+                        jnp.where(sel, ay, -by),
+                        jnp.where(sel, az, -bz))
+            if op in ("union", "intersect"):
                 out = vals[0]
                 for v in vals[1:]:
-                    out = jnp.minimum(out, v)
-                return out
-            if op == "intersect":
-                out = vals[0]
-                for v in vals[1:]:
-                    out = jnp.maximum(out, v)
+                    if op == "union":
+                        sel = out[0] <= v[0]
+                    else:
+                        sel = out[0] >= v[0]
+                    out = tuple(jnp.where(sel, a, b)
+                                for a, b in zip(out, v))
                 return out
             if op == "smooth_union":
-                # combine child distances in exp space
-                s = jnp.zeros_like(vals[0])
-                for v in vals:
-                    s = s + jnp.exp(-v / k)
-                return -k * jnp.log(jnp.maximum(s, 1e-30))
+                s = jnp.zeros(shp)
+                sx = jnp.zeros(shp)
+                sy = jnp.zeros(shp)
+                sz = jnp.zeros(shp)
+                for (v, gx, gy, gz) in vals:
+                    e = jnp.exp(-v / k)
+                    s, sx = s + e, sx + e * gx
+                    sy, sz = sy + e * gy, sz + e * gz
+                s = jnp.maximum(s, 1e-30)
+                return (-k * jnp.log(s), sx / s, sy / s, sz / s)
             raise ValueError(op)
 
-        return ev(tree)
+        _v, gx, gy, gz = ev_g(tree)
+        return gx, gy, gz, ms
 
-    n_pairs = len(cull_pairs)
+    # ---- the kernel ------------------------------------------------------
 
     def kernel(*refs):
-        (ox, oy, oz, dx, dy, dz, ln, ep) = refs[:8]
-        param_refs = refs[8:8 + n_kinds]
-        gid_ref = refs[8 + n_kinds]
-        cull_flat = refs[9 + n_kinds:9 + n_kinds + 2 * n_pairs]
-        cull_refs = [(cull_flat[2 * i], cull_flat[2 * i + 1])
+        (ox, oy, oz, dxr, dyr, dzr, ln, ep, tinit) = refs[:9]
+        param_refs = refs[9:9 + n_kinds]
+        gid_ref = refs[9 + n_kinds]
+        mat_ref = refs[10 + n_kinds]
+        pair_flat = refs[11 + n_kinds:11 + n_kinds + 2 * n_pairs]
+        pair_refs = [(pair_flat[2 * i], pair_flat[2 * i + 1])
                      for i in range(n_pairs)]
-        t_out, hit_out, d_out, steps_out = refs[9 + n_kinds + 2 * n_pairs:]
+        outs = refs[11 + n_kinds + 2 * n_pairs:]
+        t_out, hit_out, d_out, steps_out = outs[:4]
 
         origin = (ox[:, :], oy[:, :], oz[:, :])       # (8, 128) each
-        direc = (dx[:, :], dy[:, :], dz[:, :])
+        direc = (dxr[:, :], dyr[:, :], dzr[:, :])
         length = ln[:, :]
         eps = ep[:, :]
-        t0 = jnp.zeros_like(length)
+        t0 = tinit[:, :]
+
+        # hoist loop-invariant dense scalar parameters out of the march
+        dense_consts = []
+        if dense_mode == "scalar":
+            for (kind, ki, row, gid, mat) in dense_slots:
+                P = PARAM_WIDTH[kind]
+                s = tuple(param_refs[ki][row, j] for j in range(P))
+                dense_consts.append((kind, s, gid, mat))
+
+        def dist_at(t, active):
+            px = origin[0] + t * direc[0]
+            py = origin[1] + t * direc[1]
+            pz = origin[2] + t * direc[2]
+            return scene_distance(param_refs, gid_ref, pair_refs,
+                                  dense_consts, px, py, pz, t, active)
 
         # active/hit are carried as float 0/1 masks — Mosaic cannot yield
         # vector<i1> from an scf.while region.
@@ -457,11 +965,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 t, active, hit, d_out_prev, d_start, step_taken, i = state
             else:
                 t, active, hit, d_out_prev, i = state
-            px = origin[0] + t * direc[0]
-            py = origin[1] + t * direc[1]
-            pz = origin[2] + t * direc[2]
-            d = scene_distance_lanes(param_refs, gid_ref, cull_refs,
-                                     px, py, pz)
+            d = dist_at(t, active)
             if relaxed:
                 # overstep: the omega-relaxed step left the union of the
                 # two safety spheres → revert to the conservative landing
@@ -499,7 +1003,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             d_out_ = keep * d + (1.0 - keep) * d_out_prev
             return t_new, active, hit, d_out_, i + 1
 
-        active0 = jnp.where(length > 0.0, 1.0, 0.0)
+        active0 = jnp.where((length > 0.0) & (t0 < length), 1.0, 0.0)
         if relaxed:
             init = (t0, active0, jnp.zeros_like(active0),
                     jnp.full(length.shape, _BIG),
@@ -518,86 +1022,39 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         d_out[:, :] = d
         steps_out[:, :] = jnp.full(length.shape, i, jnp.int32)
 
-    return kernel, n_kinds, slot_gid
+        if want_surface:
+            nx_out, ny_out, nz_out, mat_out = outs[4:]
+            hitm = hit > 0.0
+            ts = t - eps                      # backed-off (SdfObject.fs:73)
+            px = origin[0] + ts * direc[0]
+            py = origin[1] + ts * direc[1]
+            pz = origin[2] + ts * direc[2]
+            gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
+                                          pair_refs, dense_consts,
+                                          px, py, pz, t, hitm)
+            inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
+            nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
+            ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
+            nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
+            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+
+    return kernel, n_kinds, slot_gid, dense_mode
 
 
-def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
-                epsilon: Array, grid: int):
-    """Per-ray-tile bounding cones: (apex [G,3], axis [G,3], cos_half [G],
-    t_min [G], max_len [G], margin [G], any_active [G]).
-
-    Built from the *pre-bound-skip* origins plus the march range
-    ``[t_lo, t_hi]`` measured along each ray from that origin.  Computing
-    the cone from the advanced origins would be wrong at the root-bound
-    silhouette: tiles mixing hit and miss lanes would see origins spread
-    across the whole bounding sphere, inflating ``margin`` until every
-    primitive is a candidate.  Inactive lanes (t_hi<=t_lo: provable miss,
-    padding) are masked out of every statistic."""
-    o = origin.reshape(grid, RAY_TILE, 3)
-    d = direction.reshape(grid, RAY_TILE, 3)
-    lo = t_lo.reshape(grid, RAY_TILE)
-    hi = t_hi.reshape(grid, RAY_TILE)
-    ep = epsilon.reshape(grid, RAY_TILE)
-
-    act = (hi > lo).astype(jnp.float32)                          # [G,T]
-    n_act = jnp.sum(act, axis=1)
-    any_active = n_act > 0.0
-    safe_n = jnp.maximum(n_act, 1.0)
-
-    apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]  # [G,3]
-    rho2 = jnp.sum((o - apex[:, None, :]) ** 2, axis=-1)
-    rho = jnp.sqrt(jnp.max(jnp.where(act > 0.0, rho2, 0.0), axis=1))
-    axis = jnp.sum(d * act[..., None], axis=1)
-    norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
-    axis = jnp.where(norm > 1e-12, axis / jnp.maximum(norm, 1e-12),
-                     jnp.array([0.0, 0.0, 1.0]))
-    cosd = jnp.sum(d * axis[:, None, :], axis=-1)
-    cos_half = jnp.clip(jnp.min(jnp.where(act > 0.0, cosd, 1.0), axis=1),
-                        1e-3, 1.0)
-    t_min = jnp.min(jnp.where(act > 0.0, lo, jnp.inf), axis=1)
-    t_min = jnp.where(any_active, t_min, 0.0)
-    max_len = jnp.max(jnp.where(act > 0.0, hi, 0.0), axis=1)
-    margin = rho + 2.0 * jnp.max(ep * act, axis=1) + 1e-3
-    return apex, axis, cos_half, t_min, max_len, margin, any_active
-
-
-def _cone_candidates(bounds: Array, apex, axis, cos_half, t_min, max_len,
-                     margin, any_active, m_slots: int):
-    """Conservative cone-vs-bounding-sphere candidate masks.
-
-    bounds [Kg,4]; returns (cand_idx [G, M] int32 rows ascending,
-    count [G] int32).  A primitive is a candidate iff its (margin-inflated)
-    bounding sphere can come within epsilon of ANY ray point of the tile —
-    the same conservative role as the reference's per-cell lower-bound
-    filter (SdfBoundary.fs:248-264).  ``t_min``/``max_len`` bound the
-    march range along the cone axis (rays start at t>=t_min after the
-    root-bound skip and die at max_len)."""
-    c = bounds[None, :, 0:3]                     # [1,Kg,3]
-    r = bounds[None, :, 3] + margin[:, None]     # [G,Kg]
-    v = c - apex[:, None, :]
-    a = jnp.sum(v * axis[:, None, :], axis=-1)   # [G,Kg]
-    v2 = jnp.sum(v * v, axis=-1)
-    p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
-    sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 0.0))
-    cone_dist = cos_half[:, None] * p - sin_half[:, None] * a
-    near = v2 <= r * r
-    cand = (near | (cone_dist <= r)) \
-        & (a >= (t_min * cos_half)[:, None] - r) \
-        & (a - r <= max_len[:, None]) \
-        & any_active[:, None]
-    count = jnp.sum(cand.astype(jnp.int32), axis=-1)
-    # stable sort: candidate rows first, ascending row order
-    order = jnp.argsort(~cand, axis=-1, stable=True)
-    return order[:, :m_slots].astype(jnp.int32), count
-
-
-def pallas_march_raw(scene: FlatScene, rays: Rays,
-                     cfg: MarchConfig, interpret: bool = False) -> MarchResult:
+def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
+                     interpret: bool = False, want_surface: bool = False):
     """March ``rays`` (flat batch [N]) with the fused Pallas kernel.
 
-    Handles root-bound skip on the host side (cheap, once per ray), pads N
-    to the ray-tile size, and reassembles a MarchResult.  Non-differentiable
-    (call through ops.march.march with backend='pallas' for gradients).
+    Handles the root-bound skip host-side (rays start at the per-lane entry
+    parameter ``t0``; the kernel marches the *absolute* ray parameter so
+    per-tile axial windows stay consistent with the original origins), pads
+    N to the ray-tile size, and reassembles a MarchResult.
+
+    ``want_surface=True`` additionally runs the fused surface pass and
+    returns ``(MarchResult, normal [N,3], material_index [N])`` — the
+    CSG-aware argmin material (SdfObject.fs:26-64) and the analytic normal
+    (in-kernel AD, replacing SdfForm.fs:106-115).  Non-differentiable
+    (gradients flow through ops.march.march's implicit-diff custom VJP).
     """
     assert rays.origin.ndim == 2, "pallas_march_raw wants a flat ray batch"
     n = rays.origin.shape[0]
@@ -611,101 +1068,123 @@ def pallas_march_raw(scene: FlatScene, rays: Rays,
         # (directional shadow rays carry the reference's budget of 1000,
         # SdfLight.fs:14 — they stop as soon as they escape the scene)
         length = jnp.minimum(length, t_exit)
-
-    origin = rays.origin + t0[:, None] * rays.direction
-    length = jnp.where(miss0, 0.0, length - t0)
+    length = jnp.where(miss0, 0.0, length)
 
     pad = (-n) % RAY_TILE
     npad = n + pad
+    grid = npad // RAY_TILE
 
     def pad1(x, fill=0.0):
         x = jnp.pad(x, ((0, pad),), constant_values=fill)
         return x.reshape(npad // RAY_LANE, RAY_LANE)
 
-    ox = pad1(origin[:, 0])
-    oy = pad1(origin[:, 1])
-    oz = pad1(origin[:, 2])
+    ox = pad1(rays.origin[:, 0])
+    oy = pad1(rays.origin[:, 1])
+    oz = pad1(rays.origin[:, 2])
     dxx = pad1(rays.direction[:, 0])
     dyy = pad1(rays.direction[:, 1])
     dzz = pad1(rays.direction[:, 2], 1.0)
     ln = pad1(length, -1.0)       # padded lanes: inactive
     ep = pad1(rays.epsilon, 1.0)
+    t0p = pad1(t0)
 
     pairs = ()
-    cull_m = 0
     if cfg.cull:
         pairs = _cull_pairs(scene.kind_counts, scene.plan,
                             cfg.cull_threshold)
-    if pairs:
-        cull_m = -(-cfg.cull_m // PRIM_CHUNK) * PRIM_CHUNK
+    cull_m = cfg.cull_m if pairs else 0
 
-    kernel, n_kinds, slot_gid = _build_kernel(
+    mat_vis = visible_materials(scene.plan, scene.prim_material)
+    kernel, n_kinds, slot_gid, _dm = _build_kernel(
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
-        pairs, cull_m, cfg.relax_omega)
-    grid = npad // RAY_TILE
+        pairs, cull_m, cfg.relax_omega, want_surface, mat_vis)
 
-    # per-tile candidate lists for each culled (group, kind) pair
+    # per-tile candidate tables + axial window keys for each culled pair
     cull_inputs = []
     cull_specs = []
     if pairs:
         from .. import sdf as _sdf
-        # cone from the ORIGINAL origins + march range [t0, t0+length]
-        # (advanced origins would smear mixed hit/miss tiles across the
-        # root bound — see _tile_cones)
+        offsets = scene.kind_offsets
         origin_p = jnp.pad(rays.origin, ((0, pad), (0, 0)))
         dir_p = jnp.pad(rays.direction, ((0, pad), (0, 0)))
         tlo_p = jnp.pad(t0, ((0, pad),))
-        thi_p = jnp.pad(jnp.where(length > 0.0, t0 + length, t0),
-                        ((0, pad),))
+        thi_p = pad1(jnp.where(length > 0.0, length, t0)).reshape(-1)
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
         cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid)
+        # skipped-candidate distance floor: must exceed the hit shell
+        clamp_eff = jnp.maximum(jnp.float32(cfg.cull_window_clamp),
+                                8.0 * cones.eps_max)              # [G]
         for (_gid, kind, _ki, row_lo, row_hi) in pairs:
-            kparams = scene.prim_params[kind][row_lo:row_hi]
-            kb = jax.lax.stop_gradient(
-                _sdf._prim_bound_rows(kind, kparams))
-            idx, count = _cone_candidates(kb, *cones, cull_m)
-            gathered = kparams[idx]                       # [G, M, P]
-            cull_inputs.append(gathered)
-            # per-tile candidate count, lane-broadcast (SMEM (1,1) blocks
-            # are not accepted by this Pallas version)
-            cull_inputs.append(jnp.broadcast_to(
-                count[:, None, None].astype(jnp.int32), (grid, 8, 128)))
+            m = min(cull_m, row_hi - row_lo)
+            kparams = jax.lax.stop_gradient(
+                scene.prim_params[kind][row_lo:row_hi])
+            kb = _sdf._prim_bound_rows(kind, kparams)
+            sel = _cone_candidates(kb, cones, m)
+            prepped = _prep_rows(kind, kparams)
+            mats_np = np.array(
+                [float(mat_vis[offsets[kind] + r])
+                 for r in range(row_lo, row_hi)], np.float32)
+            table = jnp.concatenate(
+                [prepped[sel.idx],                           # [G, m, P]
+                 jnp.asarray(mats_np)[sel.idx][..., None]],  # [G, m, 1]
+                axis=-1)
+            pw = table.shape[-1]
+            misc = jnp.zeros((grid, m), jnp.float32)
+            misc = misc.at[:, 0].set(sel.count.astype(jnp.float32))
+            misc = misc.at[:, 1].set(cones.cos_lo)
+            misc = misc.at[:, 2].set(clamp_eff)
+            keys = jnp.stack([sel.lo_key, sel.hi_key, misc], axis=1)
+            cull_inputs.append(table.reshape(grid * m, pw))
+            cull_inputs.append(keys)                         # [G, 3, m]
             cull_specs.append(pl.BlockSpec(
-                (1, cull_m, kparams.shape[1]), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM))
+                (m, pw), lambda i: (i, 0), memory_space=pltpu.SMEM))
             cull_specs.append(pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM))
+                (1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
 
     ray_spec = pl.BlockSpec((RAY_SUB, RAY_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
-                   for _ in range(n_kinds + 1)]  # +1 for the gid table
+                   for _ in range(n_kinds + 2)]  # +gid table, +mat table
 
     rows = npad // RAY_LANE
+    f32 = jnp.float32
     out_shape = [
-        jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.float32),   # t
+        jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # t
         jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # hit
-        jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.float32),   # d
+        jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # d
         jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # steps
     ]
-    out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
+    out_specs = [ray_spec] * 4
+    if want_surface:
+        out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
+            + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
+        out_specs += [ray_spec] * 4
 
-    params = [scene.prim_params[k] for k, _ in scene.kind_counts]
+    params = [jax.lax.stop_gradient(scene.prim_params[k])
+              for k, _ in scene.kind_counts]
 
-    t_k, hit_k, d_k, steps_k = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[ray_spec] * 8 + param_specs + cull_specs,
+        in_specs=[ray_spec] * 9 + param_specs + cull_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(ox, oy, oz, dxx, dyy, dzz, ln, ep, *params, jnp.asarray(slot_gid),
+        # the fused surface pass's in-kernel AD residuals (and the chunked
+        # overflow fallback) need more scoped VMEM than Mosaic's 16 MB
+        # default; a v5e core has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(ox, oy, oz, dxx, dyy, dzz, ln, ep, t0p, *params,
+      jnp.asarray(slot_gid), jnp.asarray(np.asarray(mat_vis, np.float32)),
       *cull_inputs)
 
-    t_k, hit_k = t_k.reshape(npad)[:n], hit_k.reshape(npad)[:n]
-    d_k, steps_k = d_k.reshape(npad)[:n], steps_k.reshape(npad)[:n]
-    t = t_k + t0
+    t_k, hit_k, d_k, steps_k = [o.reshape(npad)[:n] for o in outs[:4]]
     hit = hit_k.astype(bool) & ~miss0
-    return MarchResult(hit=hit, t=jnp.where(miss0, t0, t),
-                       distance=d_k, steps=steps_k)
+    res = MarchResult(hit=hit, t=t_k, distance=d_k, steps=steps_k)
+    if not want_surface:
+        return res
+    nx, ny, nz = [o.reshape(npad)[:n] for o in outs[4:7]]
+    midx = outs[7].reshape(npad)[:n]
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    return res, normal, jnp.where(hit, midx, -1)

@@ -139,7 +139,9 @@ def build_culled_eval(scene: FlatScene, pos: Array,
     else:
         center = _tile_centers(pos_t, None)
 
-    # per-pair static row->material map and candidate selection
+    # per-pair static row->material map (CSG-aware visibility,
+    # flatten.visible_materials) and candidate selection
+    mat_vis = scene.visible_material()
     pair_sel: List[Tuple] = []
     for (gid, kind, _ki, row_lo, row_hi) in pairs:
         mcap = min(m, row_hi - row_lo)
@@ -148,14 +150,14 @@ def build_culled_eval(scene: FlatScene, pos: Array,
         bounds = sdf._prim_bound_rows(kind, rows_params)
         idx = _candidates(bounds, center, mcap)        # [G, mcap]
         mat_of_row = np.asarray(
-            scene.prim_material[offsets[kind] + row_lo:
-                                offsets[kind] + row_hi], np.int32)
+            mat_vis[offsets[kind] + row_lo:offsets[kind] + row_hi],
+            np.int32)
         pair_sel.append((gid, kind, row_lo, idx, mat_of_row))
 
     # dense material slots (static)
     dense_mat = []  # (kind, row np[int32], mat np[int32])
     for kind, rows, gslots in dense:
-        mats = np.asarray([scene.prim_material[s] for s in gslots], np.int32)
+        mats = np.asarray([mat_vis[s] for s in gslots], np.int32)
         keep = mats >= 0
         if keep.any():
             dense_mat.append((kind, rows[keep], mats[keep]))

@@ -232,11 +232,13 @@ def albedo_of(scene: FlatScene, midx: Array, p: Array) -> Array:
 
 
 def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
-    """Winning material at ``p``: argmin of distance over material-bearing
-    primitives (the reference's second spatial lookup, ``SdfObject.fs:26-46``,
-    without the grid).  Returns (material_index [...], albedo [..., 3])."""
+    """Winning material at ``p``: argmin of distance over *CSG-visible*
+    material-bearing primitives (the reference's second spatial lookup,
+    ``SdfObject.fs:26-46``; subtract keeps the a-operand's material,
+    ``SdfObject.fs:50-64`` — see ``flatten.visible_materials``).
+    Returns (material_index [...], albedo [..., 3])."""
     d = prim_distances(scene, p)
-    slots = scene.material_slots()
+    slots = scene.visible_material_slots()
     if slots.size == 0:
         midx = jnp.zeros(p.shape[:-1], jnp.int32)
     else:

@@ -28,7 +28,7 @@ from ..scene.flatten import FlatScene
 from ..scene.nodes import LIGHT_DIRECTIONAL, LIGHT_POINT
 from ..types import Rays, SurfaceHit, dot, normalize
 from . import sdf
-from .march import MarchConfig, march
+from .march import MarchConfig, march, march_surface
 
 Array = jax.Array
 
@@ -38,7 +38,14 @@ def surface_hit(scene: FlatScene, rays: Rays,
     """March + assemble shading-ready hit info (reference
     ``SdfObject.tryTrace``, SdfObject.fs:66-78): position backed off by
     epsilon along the ray, analytic unit normal there, and the winning
-    material's albedo (argmin semantics of SdfObject.fs:26-46)."""
+    material's albedo (CSG-aware argmin, SdfObject.fs:26-64)."""
+    if cfg.backend.startswith("pallas") and cfg.fuse_surface:
+        # fast path: normals + material argmin fused into the march kernel
+        res, normal, midx = march_surface(scene, rays, cfg)
+        pos = rays.at(res.t - rays.epsilon)
+        albedo = sdf.albedo_of(scene, jnp.maximum(midx, 0), pos)
+        return SurfaceHit(hit=res.hit, position=pos, normal=normal,
+                          color=albedo, material=midx, t=res.t)
     res = march(scene, rays, cfg)
     # Back off by epsilon (Ray.move -epsilon, SdfObject.fs:73): shading and
     # normal are evaluated at the backed-off point, like the reference's

@@ -135,24 +135,28 @@ def build_distance(node: N.SdfNode) -> Callable[[Vec], float]:
 
 
 def collect_material_prims(node: N.SdfNode):
-    """All material-bearing primitives, in the same order the flattener
-    assigns global slots (kind-major, encounter order within a kind)."""
+    """CSG-visible material-bearing primitives, in the same order the
+    flattener assigns global slots (kind-major, encounter order within a
+    kind).  Visibility matches the reference: materials on a subtract's
+    *b* operand never win (``SdfObject.fs:50-64`` — subtract keeps the
+    object's material; the subtrahend is a bare form)."""
     by_kind = {k: [] for k in
                ("sphere", "capsule", "torus", "triangle", "box", "cone",
                 "plane")}
 
-    def visit(n):
+    def visit(n, visible):
         if isinstance(n, N.Prim):
-            by_kind[n.kind].append(n)
+            by_kind[n.kind].append((n, visible))
         elif isinstance(n, N.Subtract):
-            visit(n.a)
-            visit(n.b)
+            visit(n.a, visible)
+            visit(n.b, False)
         elif isinstance(n, (N.Union, N.SmoothUnion, N.Intersect)):
             for c in n.children:
-                visit(c)
-    visit(node)
+                visit(c, visible)
+    visit(node, True)
     ordered = [p for k in by_kind for p in by_kind[k]]
-    return [(p, build_distance(p)) for p in ordered if p.material is not None]
+    return [(p, build_distance(p)) for (p, vis) in ordered
+            if vis and p.material is not None]
 
 
 class Oracle:

@@ -25,23 +25,33 @@ from .mesh import make_mesh
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize the multi-controller runtime.  With no arguments, JAX
-    auto-detects cluster environments (TPU pods); explicit arguments are for
-    manual process launch.  Safe no-op when already initialized or when
-    running single-process."""
-    if jax.process_count() > 1:
+    """Initialize the multi-controller runtime.
+
+    With no arguments, JAX auto-detects cluster environments (TPU pods) and
+    failures degrade to a single-process run.  With explicit arguments the
+    caller demanded a multi-process cluster, so failures (most commonly:
+    the JAX backend was already initialized by an earlier array op — call
+    this before touching any device) propagate instead of silently
+    producing a 1-process world.
+    """
+    # NOTE: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.  The
+    # distributed-client handle is the side-effect-free "already
+    # initialized" signal.
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
         return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process run (no cluster env): nothing to initialize
-        pass
+        except (ValueError, RuntimeError):
+            # single-process run (no cluster env): nothing to initialize
+            pass
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def global_mesh():

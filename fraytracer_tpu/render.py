@@ -38,11 +38,19 @@ class RenderConfig:
     length: float = 30.0        # ray travel budget (Program.fs:93)
     gamma: float = 2.2          # tone-map gamma (Program.fs:99)
     march: MarchConfig = MarchConfig()
-    # Rays per on-chip tile.  The march materializes a [tile, K] primitive
-    # distance matrix per step; tiling keeps peak HBM bounded (a 1024² image
-    # against 1000 primitives untiled would need ~4 GB per temporary).
-    # 0 → no tiling (whole image in one batch).
+    # Rays per on-chip tile for the *jnp* backend, whose march materializes
+    # a [tile, K] primitive distance matrix per step; tiling keeps peak HBM
+    # bounded (a 1024² image against 1000 primitives untiled would need
+    # ~4 GB per temporary).  0 → no tiling (whole image in one batch).
+    # The Pallas backend ignores this for the forward pass (its state is
+    # O(rays), tiled in-kernel) and applies it only under reverse-mode AD
+    # via tile_rays_bwd.
     tile_rays: int = 65536
+    # Rays per tile for the Pallas backend (both directions).  The fused
+    # kernel needs no forward tiling; the implicit-diff backward gathers
+    # [tile/1024, 1024, cull_m] candidate matrices, which 0 (untiled)
+    # keeps ~0.5 GB at 1024² — fine on a 16 GB chip.
+    tile_rays_pallas: int = 0
 
 
 def render_rays(scene: FlatScene, rays: Rays,
@@ -94,7 +102,9 @@ def _block_perm(height: int, width: int, b: int = 32):
     blocks = (idx.reshape(height // b, b, width // b, b)
               .transpose(0, 2, 1, 3).reshape(-1))
     inv = np.argsort(blocks)
-    return jnp.asarray(blocks), jnp.asarray(inv)
+    # numpy (not jnp): jnp arrays materialized inside a jit trace must not
+    # be cached across traces (tracer leak)
+    return blocks, inv
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -106,13 +116,14 @@ def render(scene: FlatScene, camera: cam.Camera,
     flat_rays = jax.tree.map(
         lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]), rays)
 
-    blocked = (cfg.march.backend.startswith("pallas")
-               and cfg.height % 32 == 0 and cfg.width % 32 == 0)
+    pallas = cfg.march.backend.startswith("pallas")
+    blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
     if blocked:
         perm, inv = _block_perm(cfg.height, cfg.width)
         flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
 
-    colors = _trace_tiled(scene, flat_rays, cfg.march, cfg.tile_rays)
+    tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays
+    colors = _trace_tiled(scene, flat_rays, cfg.march, tile)
     if blocked:
         colors = colors[inv]
     return colors.reshape(cfg.height, cfg.width, 3)

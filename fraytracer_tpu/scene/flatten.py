@@ -21,6 +21,7 @@ per-query pointer-chasing grids.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -114,6 +115,48 @@ class FlatScene(struct.PyTreeNode):
         """Global slot indices of material-bearing primitives (static)."""
         return np.array([i for i, m in enumerate(self.prim_material) if m >= 0],
                         dtype=np.int32)
+
+    def visible_material(self) -> Tuple[int, ...]:
+        """CSG-aware material visibility per slot (-1 = not visible); see
+        :func:`visible_materials`."""
+        return visible_materials(self.plan, self.prim_material)
+
+    def visible_material_slots(self) -> np.ndarray:
+        """Slots whose material participates in the argmin (static)."""
+        vis = self.visible_material()
+        return np.array([i for i, m in enumerate(vis) if m >= 0], np.int32)
+
+
+@functools.lru_cache(maxsize=128)
+def visible_materials(plan: Plan,
+                      prim_material: Tuple[int, ...]) -> Tuple[int, ...]:
+    """CSG-aware material visibility per global slot (-1 = none visible).
+
+    The reference resolves the winning material per union scope and keeps
+    the *a* operand's material under subtract/intersect
+    (``SdfObject.fs:50-64``: ``subtract object form`` / ``intersect object
+    forms`` carve an object with bare forms).  Equivalent static rule on
+    the flat plan: a primitive's material participates in the argmin iff
+    the path from the root reaches it without passing through a subtract's
+    *b* operand.  (All intersect operands keep visibility: in the
+    reference only one operand of an intersect can carry materials, so
+    this is a faithful superset.)
+    """
+    vis = [-1] * len(prim_material)
+
+    def walk(p: Plan, flag: bool):
+        if flag:
+            for s in p.prim_slots:
+                vis[s] = prim_material[s]
+        if p.op == "subtract":
+            walk(p.children[0], flag)
+            walk(p.children[1], False)
+            return
+        for c in p.children:
+            walk(c, flag)
+
+    walk(plan, True)
+    return tuple(vis)
 
 
 def flatten(scene: N.Scene) -> FlatScene:

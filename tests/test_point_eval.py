@@ -51,18 +51,36 @@ def test_culled_eval_none_without_big_groups():
 
 
 def test_culled_surface_hit_matches_dense_trace():
-    """The full shaded image through the culled fast path equals the dense
-    path (both pallas_interpret march)."""
+    """Culled fast path vs dense path (both pallas_interpret march): the
+    culled march's per-step axial windows cap some steps, so hit points
+    drift within the epsilon shell — the contract is exact hit parity,
+    t within the shell, and shading within O(epsilon·curvature)."""
     scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
     rays = flat_camera_rays(32, 32)
+    r_c = march(scene, rays, CULLED)
+    r_d = march(scene, rays, DENSE_NM)
+    hits = np.asarray(r_d.hit)
+    np.testing.assert_array_equal(np.asarray(r_c.hit), hits)
+    if hits.any():
+        tdiff = np.abs(np.asarray(r_c.t) - np.asarray(r_d.t))[hits]
+        assert tdiff.max() < 3 * 0.01  # within the epsilon shell
+
     img_c = np.asarray(shade.trace(scene, rays, CULLED))
     img_d = np.asarray(shade.trace(scene, rays, DENSE_NM))
-    np.testing.assert_allclose(img_c, img_d, atol=1e-5)
+    assert np.abs(img_c - img_d).max() < 2e-3
+    # pixels whose hit points coincide must match tightly
+    same = np.abs(np.asarray(r_c.t) - np.asarray(r_d.t)) < 1e-6
+    exact = (~hits) | same
+    np.testing.assert_allclose(img_c[exact], img_d[exact], atol=1e-5)
 
 
 def test_culled_vjp_matches_dense_gradients():
-    """Gradient of a pixel-sum loss w.r.t. torus parameters through the
-    culled implicit-diff backward equals the dense backward."""
+    """Two gradient contracts: (a) the culled implicit-diff backward equals
+    the dense backward up to the epsilon-shell hit drift between the two
+    (sound) marches — a few 1e-3 absolute on O(10) gradients; (b) on the
+    *same* march, the fused-surface custom VJP equals the unfused
+    (march → point_eval normal) chain to float precision."""
+    import dataclasses
     scene = ft.flatten(torus_csg_scene(seed=19, n_tori=64))
     rays = flat_camera_rays(24, 24)
 
@@ -74,5 +92,13 @@ def test_culled_vjp_matches_dense_gradients():
     for kind in ("torus", "sphere"):
         np.testing.assert_allclose(
             np.asarray(g_c.prim_params[kind]),
-            np.asarray(g_d.prim_params[kind]), atol=2e-3,
-            err_msg=f"grad mismatch for {kind}")
+            np.asarray(g_d.prim_params[kind]), atol=8e-3,
+            err_msg=f"grad mismatch (hit-drift envelope) for {kind}")
+
+    g_nf = jax.grad(lambda s: loss(
+        s, dataclasses.replace(CULLED, fuse_surface=False)))(scene)
+    for kind in ("torus", "sphere"):
+        np.testing.assert_allclose(
+            np.asarray(g_c.prim_params[kind]),
+            np.asarray(g_nf.prim_params[kind]), atol=1e-5,
+            err_msg=f"fused-VJP mismatch for {kind}")
