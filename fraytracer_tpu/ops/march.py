@@ -61,7 +61,10 @@ class MarchConfig:
     # conservative cone-vs-bounding-sphere test — the TPU replacement for
     # the reference's spatial-grid pruning (SdfBoundary.fs:225-282).
     cull: bool = True
-    cull_m: int = 128           # candidate slots per tile (rounded to 128)
+    # candidate slots per tile; tiles whose conservative candidate count
+    # exceeds this fall back to a full sweep, so it is sized for the
+    # *shadow* tiles (spread origins → bigger counts), not the camera
+    cull_m: int = 256
     cull_threshold: int = 192   # min group size worth culling
     # Over-relaxed sphere tracing (pallas backend): step by omega·d with a
     # sound fallback — when the relaxed step leaves the union of the two
@@ -165,14 +168,17 @@ def _march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
 
 def _dispatch_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                   sign: Array | None) -> MarchResult:
-    if cfg.backend.startswith("pallas") and sign is None:
+    if cfg.backend.startswith("pallas"):
         from .pallas.march_kernel import pallas_march_raw
         batch = rays.batch_shape
         flat = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
+        sign_flat = None if sign is None else \
+            jnp.broadcast_to(sign, batch).reshape(-1)
         raw_flat = pallas_march_raw(
             scene, flat, cfg,
-            interpret=(cfg.backend == "pallas_interpret"))
+            interpret=(cfg.backend == "pallas_interpret"),
+            sign=sign_flat)
         return jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]),
                             raw_flat)
     return _march_raw(scene, rays, cfg, sign)
@@ -281,27 +287,30 @@ def march(scene: FlatScene, rays: Rays,
 # Fused march + surface info (normals, CSG-aware material argmin)
 # ---------------------------------------------------------------------------
 
-def _surf_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig):
+def _surf_raw(scene: FlatScene, rays: Rays, sign: Array, cfg: MarchConfig):
     """Non-differentiable fused march+surface via the Pallas kernel."""
     from .pallas.march_kernel import pallas_march_raw
     batch = rays.batch_shape
     flat = jax.tree.map(
         lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
+    sign_flat = None if sign.ndim == 0 else \
+        jnp.broadcast_to(sign, batch).reshape(-1)
     res, normal, midx = pallas_march_raw(
         scene, flat, cfg, interpret=(cfg.backend == "pallas_interpret"),
-        want_surface=True)
+        want_surface=True, sign=sign_flat)
     res = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), res)
     return (res, normal.reshape(batch + (3,)), midx.reshape(batch))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _march_surf_cvjp(scene: FlatScene, rays: Rays, cfg: MarchConfig):
-    return _surf_raw(scene, rays, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _march_surf_cvjp(scene: FlatScene, rays: Rays, sign: Array,
+                     cfg: MarchConfig):
+    return _surf_raw(scene, rays, sign, cfg)
 
 
-def _march_surf_fwd(scene, rays, cfg):
-    out = _march_surf_cvjp(scene, rays, cfg)
-    return out, (scene, rays, out[0])
+def _march_surf_fwd(scene, rays, sign, cfg):
+    out = _march_surf_cvjp(scene, rays, sign, cfg)
+    return out, (scene, rays, sign, out[0])
 
 
 def _march_surf_bwd(cfg, residuals, ct):
@@ -311,21 +320,28 @@ def _march_surf_bwd(cfg, residuals, ct):
     where t(scene) is the same implicit reparameterization — so gradients
     are identical to the unfused (march → point_eval normal) chain without
     re-running the kernel."""
-    scene, rays, raw = residuals
+    scene, rays, sign, raw = residuals
     ct_res, ct_n, _ct_m = ct
     sg = jax.lax.stop_gradient
+    signv = None if sign.ndim == 0 else sg(sign)
     batch = raw.t.shape
-    scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
+    if signv is None:
+        scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
+    else:
+        scene_d = lambda sc, x: sdf.scene_distance(sc, x)
+        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
 
-    bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, None, raw,
+    bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, signv, raw,
                                      scene_d, x0, ct_res.t)
 
     t_star = sg(raw.t)
-    denom = _implicit_t_denom(scene, rays, scene_d, x0, None, cfg)
+    denom = _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg)
 
     def nfn(sc, o, d):
         x = o + t_star[..., None] * d
         f0 = scene_d(sc, x)
+        if signv is not None:
+            f0 = signv * f0
         # reattach t by the implicit-diff reparameterization (docstring)
         t_diff = t_star - (f0 - sg(f0)) / denom
         p = o + (t_diff - rays.epsilon)[..., None] * d
@@ -340,27 +356,31 @@ def _march_surf_bwd(cfg, residuals, ct):
     bar_rays = Rays(origin=bar_o + n_o, direction=bar_d + n_d,
                     length=jnp.zeros_like(rays.length),
                     epsilon=jnp.zeros_like(rays.epsilon))
-    return bar_scene, bar_rays
+    return bar_scene, bar_rays, jnp.zeros_like(sign)
 
 
 _march_surf_cvjp.defvjp(_march_surf_fwd, _march_surf_bwd)
 
 
 def march_surface(scene: FlatScene, rays: Rays,
-                  cfg: MarchConfig = MarchConfig()):
+                  cfg: MarchConfig = MarchConfig(),
+                  sign: Array | None = None):
     """March + shading-ready surface info in one pass.
 
     Returns ``(MarchResult, normal [..., 3], material_index [...])`` — the
     analytic unit normal at the backed-off hit point (SdfForm.fs:106-115,
-    exact gradient instead of 4-tap FD) and the CSG-aware winning material
-    (argmin over material-visible primitives, SdfObject.fs:26-64; -1 on
-    miss).  On the Pallas backend with ``cfg.fuse_surface`` this is a
-    single fused kernel; ``t`` and ``normal`` stay differentiable via a
-    custom VJP.  Other backends fall back to march + dense evaluation.
+    exact gradient instead of 4-tap FD; the *outward* SDF gradient even on
+    sign=-1 inside-marching lanes — callers orient it) and the CSG-aware
+    winning material (argmin over material-visible primitives,
+    SdfObject.fs:26-64; -1 on miss).  On the Pallas backend with
+    ``cfg.fuse_surface`` this is a single fused kernel; ``t`` and
+    ``normal`` stay differentiable via a custom VJP.  Other backends fall
+    back to march + dense evaluation.
     """
     if cfg.backend.startswith("pallas") and cfg.fuse_surface:
-        return _march_surf_cvjp(scene, rays, cfg)
-    res = march(scene, rays, cfg)
+        sign_arg = jnp.float32(0.0) if sign is None else sign
+        return _march_surf_cvjp(scene, rays, sign_arg, cfg)
+    res = march(scene, rays, cfg, sign=sign)
     pos = rays.at(res.t - rays.epsilon)
     normal = sdf.scene_normal(scene, pos)
     midx, _alb = sdf.material_at(scene, pos)

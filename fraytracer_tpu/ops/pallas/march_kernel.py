@@ -59,6 +59,13 @@ RAY_LANE = 128     # ray lanes
 RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance (8 × 128 vreg)
 PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
 DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
+# candidates evaluated per window-loop iteration: unrolling lets Mosaic
+# pipeline the SMEM parameter loads and amortizes loop control, which
+# otherwise dominate the per-candidate cost (~10x the eval math)
+CAND_UNROLL = 8
+# dev switch (tools/probe_*): report the summed per-step window width in
+# the steps output instead of the iteration count
+DEBUG_WINDOW_STATS = False
 _BIG = 3.0e38
 
 
@@ -432,8 +439,11 @@ def _cone_candidates(bounds: Array, cones: TileCones,
     neg_key, idx = jax.lax.top_k(-key, m)        # ascending by axial a
     a_g = -neg_key                               # [G, m]
     r_g = bounds[:, 3][idx]
-    lo_key = a_g + r_g - cones.o_off_lo[:, None] + 1e-3
-    hi_key = a_g - r_g - cones.o_off_hi[:, None] - 1e-3
+    # axial extent keys in apex coordinates; the kernel compares them
+    # against per-lane exact axial positions (oa + t·cosd bounds), so no
+    # origin-spread slack is baked in here
+    lo_key = a_g + r_g + 1e-3
+    hi_key = a_g - r_g - 1e-3
     return CandSelect(idx.astype(jnp.int32), count, lo_key, hi_key)
 
 
@@ -441,20 +451,26 @@ def _cone_candidates(bounds: Array, cones: TileCones,
 # Kernel builder
 # ---------------------------------------------------------------------------
 
-def _pair_window(keys_ref, t, lane_mask, slots: int):
+def _pair_window(keys_ref, t, oa, lane_mask, slots: int,
+                 clamp_col: int = 2):
     """Per-step axial candidate window for one culled pair.
 
-    From the live t-range of the tile, derive [w_lo, w_hi) over the
-    axially-sorted candidate list plus the per-lane lower-bound cap for
-    everything skipped.  Soundness (clamp > epsilon everywhere):
+    Every ray point's axial coordinate (along the tile cone axis, from
+    the apex) is exactly ``p_ax = oa + τ·cosd`` with ``oa`` the lane's
+    origin offset (kernel input — exact per lane, so shadow tiles with
+    spread origins get windows as tight as pinhole camera tiles) and
+    ``cosd ∈ [cos_lo, 1]``.  Per step the live axial range is
 
-    * behind: every active point has axial coord ≥ o_off_lo + τ_lo·cos_lo,
-      so a candidate with ``lo_key = a + r - o_off_lo < τ_lo·cos_lo - clamp``
-      is > clamp from every active point; its distance is further lower-
-      bounded per lane by ``t·cos_lo - BH``;
-    * ahead: every active point has axial coord ≤ o_off_hi + τ, so
-      ``hi_key = a - r - o_off_hi > τ_hi + clamp`` is > clamp away, lower-
-      bounded per lane by ``AH - t``.
+        plo = min over active lanes of (oa + τ·cos_lo)   ≤ any p_ax
+        phi = max over active lanes of (oa + τ)          ≥ any p_ax
+
+    Soundness (clamp > epsilon everywhere):
+
+    * behind: ``lo_key = a + r < plo - clamp`` ⇒ the candidate is > clamp
+      from every active point; per lane further bounded by
+      ``(oa + τ·cos_lo) - BH``;
+    * ahead: ``hi_key = a - r > phi + clamp`` ⇒ > clamp away, per lane
+      bounded by ``AH - (oa + τ)``.
 
     The march steps by ``min(window min, cap)`` — never more than the true
     scene distance, and a skipped primitive can never be within epsilon
@@ -463,20 +479,22 @@ def _pair_window(keys_ref, t, lane_mask, slots: int):
     """
     count = keys_ref[0, 2, 0]
     cos_lo = keys_ref[0, 2, 1]
-    clamp = keys_ref[0, 2, 2]
+    clamp = keys_ref[0, 2, clamp_col]
     lo_k = keys_ref[0, 0:1, :]                         # (1, M)
     hi_k = keys_ref[0, 1:2, :]
-    tau_lo = jnp.min(jnp.where(lane_mask, t, _BIG))
-    tau_hi = jnp.max(jnp.where(lane_mask, t, -_BIG))
-    behind = lo_k < tau_lo * cos_lo - clamp
-    ahead = hi_k > tau_hi + clamp
+    p_lo_lane = oa + t * cos_lo
+    p_hi_lane = oa + t
+    plo = jnp.min(jnp.where(lane_mask, p_lo_lane, _BIG))
+    phi = jnp.max(jnp.where(lane_mask, p_hi_lane, -_BIG))
+    behind = lo_k < plo - clamp
+    ahead = hi_k > phi + clamp
     rel = jnp.logical_not(behind) & jnp.logical_not(ahead)
     idxv = jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1)
     w_lo = jnp.min(jnp.where(rel, idxv, slots))
     w_hi = jnp.max(jnp.where(rel, idxv + 1, 0))
     BH = jnp.max(jnp.where(behind, lo_k, -_BIG))
     AH = jnp.min(jnp.where(ahead, hi_k, _BIG))
-    cap = jnp.minimum(AH - t, t * cos_lo - BH)
+    cap = jnp.minimum(AH - p_hi_lane, p_lo_lane - BH)
     return count, w_lo, w_hi, cap
 
 
@@ -485,7 +503,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   max_steps: int, prim_chunk: int,
                   cull_pairs: Tuple = (), cull_m: int = 0,
                   omega: float = 1.0, want_surface: bool = False,
-                  mat_vis: Tuple[int, ...] = ()):
+                  mat_vis: Tuple[int, ...] = (), has_sign: bool = False):
     """Build the pallas kernel fn for a scene structure.  Cached.
 
     Returns (kernel, n_kinds, slot_gid, dense_mode) where dense_mode is
@@ -549,7 +567,11 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     n_kinds = len(kind_counts)
     n_pairs = len(cull_pairs)
-    pair_m = [min(cull_m, r1 - r0) for (_g, _k, _ki, r0, r1) in cull_pairs]
+    # candidate slots per pair, in whole unroll chunks (chunk-edge extras
+    # evaluate real primitives — harmless for a min reduction)
+    pair_m = [max(CAND_UNROLL,
+                  (min(cull_m, r1 - r0) // CAND_UNROLL) * CAND_UNROLL)
+              for (_g, _k, _ki, r0, r1) in cull_pairs]
 
     # ---- group accumulator helpers -------------------------------------
 
@@ -609,9 +631,10 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- march-time scene distance --------------------------------------
 
     def scene_distance(param_refs, gid_ref, pair_refs, dense_consts,
-                       px, py, pz, t, active):
+                       px, py, pz, t, oa, active):
         shp = px.shape
         accs = accs_init(shp)
+        wwidth = []  # per-pair window widths this step (debug stats)
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
             cand_ref, keys_ref = pair_refs[pi]
@@ -622,15 +645,21 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             def culled_pass(_, cand_ref=cand_ref, keys_ref=keys_ref,
                             fn=fn, P=P, m=m):
                 _count, w_lo, w_hi, cap = _pair_window(
-                    keys_ref, t, active > 0.0, m)
+                    keys_ref, t, oa, active > 0.0, m)
 
-                def body(c, acc):
-                    s = tuple(cand_ref[c, j] for j in range(P))
-                    return jnp.minimum(acc, fn(s, px, py, pz))
+                def body(cb, acc):
+                    c0 = cb * CAND_UNROLL
+                    for k in range(CAND_UNROLL):
+                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
+                        acc = jnp.minimum(acc, fn(s, px, py, pz))
+                    return acc
 
-                win = jax.lax.fori_loop(w_lo, w_hi, body,
-                                        jnp.full(shp, _BIG))
-                return jnp.minimum(win, cap)
+                win = jax.lax.fori_loop(
+                    w_lo // CAND_UNROLL,
+                    (w_hi + CAND_UNROLL - 1) // CAND_UNROLL,
+                    body, jnp.full(shp, _BIG))
+                width = jnp.maximum(w_hi - w_lo, 0).astype(jnp.float32)
+                return jnp.minimum(win, cap), width
 
             def full_pass(_, ki=ki, row_lo=row_lo, row_hi=row_hi,
                           kind=kind):
@@ -642,10 +671,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                     rows_p = param_refs[ki][r0:r0 + rc, :]
                     d = soa(rows_p, px3, py3, pz3)
                     acc = jnp.minimum(acc, jnp.min(d, axis=-1))
-                return acc
+                return acc, jnp.float32(row_hi - row_lo)
 
             count = pair_refs[pi][1][0, 2, 0]
-            gval = jax.lax.cond(count <= float(m), culled_pass, full_pass, 0)
+            gval, width = jax.lax.cond(count <= float(m),
+                                       culled_pass, full_pass, 0)
+            wwidth.append(width)
             fold_value(accs, gid, gval)
 
         if dense_mode == "scalar":
@@ -675,12 +706,15 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         dm = jnp.where(mask, jnp.exp(-d / g.k), 0.0)
                         fold_value(accs, gi, jnp.sum(dm, axis=-1))
 
-        return ev_tree(resolve_groups(accs), tree)
+        wsum = jnp.float32(0.0)
+        for w in wwidth:
+            wsum = wsum + w
+        return ev_tree(resolve_groups(accs), tree), wsum
 
     # ---- surface pass: value + gradient + material ----------------------
 
     def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-                     px, py, pz, t, hitm):
+                     px, py, pz, t, oa, hitm):
         """At the (backed-off) hit points: per-group (value, ∇value) plus
         the global material argmin over material-visible primitives.
         Window bounds come from the hit lanes' t-range; the window clamp
@@ -734,32 +768,78 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
             def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
                           fn=fn, P=P, m=m, gid=gid):
-                _c, w_lo, w_hi, cap = _pair_window(keys_ref, t, hitm, m)
+                # normal window margin: the hit shell only (8·eps, misc
+                # col 3) — far narrower than the march clamp; the argmin
+                # the normal depends on is within epsilon of a hit
+                _c, w_lo, w_hi, cap = _pair_window(keys_ref, t, oa, hitm,
+                                                   m, clamp_col=3)
 
-                def body(c, carry):
-                    bd, bgx, bgy, bgz, md_, ms_ = carry
-                    s = tuple(cand_ref[c, j] for j in range(P))
-                    mat = cand_ref[c, P]
-                    d, gx, gy, gz = val_grad(fn, s)
-                    better = d < bd
-                    bd = jnp.where(better, d, bd)
-                    bgx = jnp.where(better, gx, bgx)
-                    bgy = jnp.where(better, gy, bgy)
-                    bgz = jnp.where(better, gz, bgz)
-                    mb = (d < md_) & (mat >= 0.0)
-                    md_ = jnp.where(mb, d, md_)
-                    ms_ = jnp.where(mb, mat, ms_)
-                    return bd, bgx, bgy, bgz, md_, ms_
+                def body(cb, carry):
+                    c0 = cb * CAND_UNROLL
+                    ss, ds = [], []
+                    dmin = jnp.full(shp, _BIG)
+                    for k in range(CAND_UNROLL):
+                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
+                        d = fn(s, px, py, pz)
+                        ss.append(s)
+                        ds.append(d)
+                        dmin = jnp.minimum(dmin, d)
+                    # gradient + select only when some hit lane actually
+                    # improves — fires for the few chunks holding the
+                    # tile's true surface owners, so the pass costs ~one
+                    # d-eval per window candidate, not a full AD sweep
+                    any_better = jnp.max(jnp.where(
+                        (dmin < carry[0]) & hitm, 1.0, 0.0)) > 0.0
+
+                    def upd(carry):
+                        bd, bgx, bgy, bgz = carry
+                        for k in range(CAND_UNROLL):
+                            better = (ds[k] < bd) & hitm
+                            dv, gx, gy, gz = val_grad(fn, ss[k])
+                            bd = jnp.where(better, dv, bd)
+                            bgx = jnp.where(better, gx, bgx)
+                            bgy = jnp.where(better, gy, bgy)
+                            bgz = jnp.where(better, gz, bgz)
+                        return bd, bgx, bgy, bgz
+
+                    return jax.lax.cond(any_better, upd,
+                                        lambda carry: carry, carry)
 
                 init = (jnp.full(shp, _BIG), jnp.zeros(shp),
-                        jnp.zeros(shp), jnp.ones(shp), md, ms)
-                bd, bgx, bgy, bgz, md_, ms_ = jax.lax.fori_loop(
-                    w_lo, w_hi, body, init)
+                        jnp.zeros(shp), jnp.ones(shp))
+                bd, bgx, bgy, bgz = jax.lax.fori_loop(
+                    w_lo // CAND_UNROLL,
+                    (w_hi + CAND_UNROLL - 1) // CAND_UNROLL,
+                    body, init)
                 capped = cap < bd
                 bd = jnp.where(capped, cap, bd)
                 bgx = jnp.where(capped, 0.0, bgx)
                 bgy = jnp.where(capped, 0.0, bgy)
                 bgz = jnp.where(capped, 1.0, bgz)
+
+                # material argmin: the winner can be arbitrarily far from
+                # the hit (a hit on a material-less cutter surface takes
+                # the nearest visible material, SdfObject.fs:26-46), so
+                # loop over the *whole* candidate list — one march-step's
+                # worth of work, not windowed
+                count = keys_ref[0, 2, 0]
+                n_mat = jnp.minimum(count, float(m)).astype(jnp.int32)
+
+                def mbody(cb, carry):
+                    md_, ms_ = carry
+                    c0 = cb * CAND_UNROLL
+                    for k in range(CAND_UNROLL):
+                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
+                        mat = cand_ref[c0 + k, P]
+                        d = fn(s, px, py, pz)
+                        mb = (d < md_) & (mat >= 0.0)
+                        md_ = jnp.where(mb, d, md_)
+                        ms_ = jnp.where(mb, mat, ms_)
+                    return md_, ms_
+
+                md_, ms_ = jax.lax.fori_loop(
+                    0, (n_mat + CAND_UNROLL - 1) // CAND_UNROLL,
+                    mbody, (md, ms))
                 return bd, bgx, bgy, bgz, md_, ms_
 
             def full_sp(_, ki=ki, row_lo=row_lo, row_hi=row_hi, kind=kind):
@@ -920,15 +1000,25 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     # ---- the kernel ------------------------------------------------------
 
+    has_oa = n_pairs > 0
+    n_ray = 9 + int(has_sign) + int(has_oa)
+
     def kernel(*refs):
         (ox, oy, oz, dxr, dyr, dzr, ln, ep, tinit) = refs[:9]
-        param_refs = refs[9:9 + n_kinds]
-        gid_ref = refs[9 + n_kinds]
-        mat_ref = refs[10 + n_kinds]
-        pair_flat = refs[11 + n_kinds:11 + n_kinds + 2 * n_pairs]
+        k = 9
+        sgn = None
+        if has_sign:
+            sgn = refs[k][:, :]
+            k += 1
+        oa = refs[k][:, :] if has_oa else None
+        param_refs = refs[n_ray:n_ray + n_kinds]
+        gid_ref = refs[n_ray + n_kinds]
+        mat_ref = refs[n_ray + 1 + n_kinds]
+        pair_flat = refs[n_ray + 2 + n_kinds:
+                         n_ray + 2 + n_kinds + 2 * n_pairs]
         pair_refs = [(pair_flat[2 * i], pair_flat[2 * i + 1])
                      for i in range(n_pairs)]
-        outs = refs[11 + n_kinds + 2 * n_pairs:]
+        outs = refs[n_ray + 2 + n_kinds + 2 * n_pairs:]
         t_out, hit_out, d_out, steps_out = outs[:4]
 
         origin = (ox[:, :], oy[:, :], oz[:, :])       # (8, 128) each
@@ -949,8 +1039,14 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             px = origin[0] + t * direc[0]
             py = origin[1] + t * direc[1]
             pz = origin[2] + t * direc[2]
-            return scene_distance(param_refs, gid_ref, pair_refs,
-                                  dense_consts, px, py, pz, t, active)
+            d, w = scene_distance(param_refs, gid_ref, pair_refs,
+                                  dense_consts, px, py, pz, t, oa, active)
+            # per-lane sign: -1 marches *inside* the solid toward the exit
+            # surface (refraction transmission).  Sound under the window
+            # cap: a containing primitive's bound always contains the
+            # point, so it can never be window-skipped, and the capped
+            # union min equals the true (negative) distance there.
+            return (sgn * d if sgn is not None else d), w
 
         # active/hit are carried as float 0/1 masks — Mosaic cannot yield
         # vector<i1> from an scf.while region.
@@ -962,10 +1058,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
         def body(state):
             if relaxed:
-                t, active, hit, d_out_prev, d_start, step_taken, i = state
+                t, active, hit, d_out_prev, d_start, step_taken, wsum, i \
+                    = state
             else:
-                t, active, hit, d_out_prev, i = state
-            d = dist_at(t, active)
+                t, active, hit, d_out_prev, wsum, i = state
+            d, w = dist_at(t, active)
+            wsum = wsum + w
             if relaxed:
                 # overstep: the omega-relaxed step left the union of the
                 # two safety spheres → revert to the conservative landing
@@ -992,7 +1090,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 d_start_n = over * d_start + ok * d
                 step_taken_n = over * d_start + ok * adv
                 return (t_new, active, hit, d_out_, d_start_n,
-                        step_taken_n, i + 1)
+                        step_taken_n, wsum, i + 1)
             is_hit = active * jnp.where(d < eps, 1.0, 0.0)
             hit = jnp.maximum(hit, is_hit)
             step = active * (1.0 - is_hit) * d
@@ -1001,7 +1099,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             active = active * (1.0 - is_hit) * not_exhausted
             keep = jnp.maximum(active, is_hit)
             d_out_ = keep * d + (1.0 - keep) * d_out_prev
-            return t_new, active, hit, d_out_, i + 1
+            return t_new, active, hit, d_out_, wsum, i + 1
 
         active0 = jnp.where((length > 0.0) & (t0 < length), 1.0, 0.0)
         if relaxed:
@@ -1009,18 +1107,24 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                     jnp.full(length.shape, _BIG),
                     jnp.full(length.shape, _BIG),   # d_start (no overstep)
                     jnp.zeros_like(length),          # step_taken
-                    jnp.int32(0))
-            t, _active, hit, d, _ds, _st, i = jax.lax.while_loop(
+                    jnp.float32(0.0), jnp.int32(0))
+            t, _active, hit, d, _ds, _st, wsum, i = jax.lax.while_loop(
                 cond, body, init)
         else:
             init = (t0, active0, jnp.zeros_like(active0),
-                    jnp.full(length.shape, _BIG), jnp.int32(0))
-            t, _active, hit, d, i = jax.lax.while_loop(cond, body, init)
+                    jnp.full(length.shape, _BIG),
+                    jnp.float32(0.0), jnp.int32(0))
+            t, _active, hit, d, wsum, i = jax.lax.while_loop(
+                cond, body, init)
 
         t_out[:, :] = t
         hit_out[:, :] = (hit > 0.0).astype(jnp.int32)
         d_out[:, :] = d
-        steps_out[:, :] = jnp.full(length.shape, i, jnp.int32)
+        if DEBUG_WINDOW_STATS:
+            steps_out[:, :] = jnp.full(length.shape, wsum, jnp.float32) \
+                .astype(jnp.int32)
+        else:
+            steps_out[:, :] = jnp.full(length.shape, i, jnp.int32)
 
         if want_surface:
             nx_out, ny_out, nz_out, mat_out = outs[4:]
@@ -1031,7 +1135,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             pz = origin[2] + ts * direc[2]
             gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
                                           pair_refs, dense_consts,
-                                          px, py, pz, t, hitm)
+                                          px, py, pz, t, oa, hitm)
             inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
             nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
             ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
@@ -1042,7 +1146,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
 
 def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
-                     interpret: bool = False, want_surface: bool = False):
+                     interpret: bool = False, want_surface: bool = False,
+                     sign: Array | None = None):
     """March ``rays`` (flat batch [N]) with the fused Pallas kernel.
 
     Handles the root-bound skip host-side (rays start at the per-lane entry
@@ -1063,7 +1168,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     miss0 = jnp.zeros((n,), bool)
     length = rays.length
     if cfg.bound_skip:
-        t0, miss0, t_exit = bound_skip_start(scene, rays)
+        t0, miss0, t_exit = bound_skip_start(scene, rays, sign)
         # no hit can occur past the root-bound exit: clamp the budget
         # (directional shadow rays carry the reference's budget of 1000,
         # SdfLight.fs:14 — they stop as soon as they escape the scene)
@@ -1097,11 +1202,14 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     mat_vis = visible_materials(scene.plan, scene.prim_material)
     kernel, n_kinds, slot_gid, _dm = _build_kernel(
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
-        pairs, cull_m, cfg.relax_omega, want_surface, mat_vis)
+        pairs, cull_m, cfg.relax_omega, want_surface, mat_vis,
+        has_sign=sign is not None)
+    sign_in = [pad1(sign, 1.0)] if sign is not None else []
 
     # per-tile candidate tables + axial window keys for each culled pair
     cull_inputs = []
     cull_specs = []
+    oa_in = []
     if pairs:
         from .. import sdf as _sdf
         offsets = scene.kind_offsets
@@ -1111,11 +1219,21 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         thi_p = pad1(jnp.where(length > 0.0, length, t0)).reshape(-1)
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
         cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid)
+        # per-lane exact axial origin offset (o - apex)·axis — the kernel's
+        # per-step windows use it instead of tile-wide bounds, so origin
+        # spread (shadow tiles!) doesn't widen the windows
+        oa_in = [jnp.sum(
+            (origin_p.reshape(grid, RAY_TILE, 3) - cones.apex[:, None, :])
+            * cones.axis[:, None, :], axis=-1
+        ).reshape(npad // RAY_LANE, RAY_LANE)]
         # skipped-candidate distance floor: must exceed the hit shell
         clamp_eff = jnp.maximum(jnp.float32(cfg.cull_window_clamp),
                                 8.0 * cones.eps_max)              # [G]
         for (_gid, kind, _ki, row_lo, row_hi) in pairs:
-            m = min(cull_m, row_hi - row_lo)
+            # whole unroll chunks; must mirror _build_kernel's pair_m
+            m = max(CAND_UNROLL,
+                    (min(cull_m, row_hi - row_lo) // CAND_UNROLL)
+                    * CAND_UNROLL)
             kparams = jax.lax.stop_gradient(
                 scene.prim_params[kind][row_lo:row_hi])
             kb = _sdf._prim_bound_rows(kind, kparams)
@@ -1133,6 +1251,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             misc = misc.at[:, 0].set(sel.count.astype(jnp.float32))
             misc = misc.at[:, 1].set(cones.cos_lo)
             misc = misc.at[:, 2].set(clamp_eff)
+            # surface-pass window margin: hit shell only (epsilon-scale)
+            misc = misc.at[:, 3].set(8.0 * cones.eps_max + 1e-3)
             keys = jnp.stack([sel.lo_key, sel.hi_key, misc], axis=1)
             cull_inputs.append(table.reshape(grid * m, pw))
             cull_inputs.append(keys)                         # [G, 3, m]
@@ -1163,10 +1283,11 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     params = [jax.lax.stop_gradient(scene.prim_params[k])
               for k, _ in scene.kind_counts]
 
+    n_ray = 9 + len(sign_in) + len(oa_in)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[ray_spec] * 9 + param_specs + cull_specs,
+        in_specs=[ray_spec] * n_ray + param_specs + cull_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -1175,7 +1296,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         # default; a v5e core has 128 MB
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(ox, oy, oz, dxx, dyy, dzz, ln, ep, t0p, *params,
+    )(ox, oy, oz, dxx, dyy, dzz, ln, ep, t0p, *sign_in, *oa_in, *params,
       jnp.asarray(slot_gid), jnp.asarray(np.asarray(mat_vis, np.float32)),
       *cull_inputs)
 

@@ -33,7 +33,7 @@ from ..scene.flatten import FlatScene
 from ..scene.nodes import MAT_DIELECTRIC, MAT_MIRROR, MAT_SOLID
 from ..types import Rays, dot, normalize
 from . import sdf, spectral
-from .march import MarchConfig, march
+from .march import MarchConfig, march, march_surface
 from .shade import light_dir_and_dist
 
 Array = jax.Array
@@ -97,14 +97,16 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     # rays inside a dielectric march the *negated* SDF toward the exit
     # surface (transmission); outside rays march normally
     sign = jnp.where(q.inside, -1.0, 1.0)
-    res = march(scene, rays, cfg.march, sign=sign)
+    # fused march+surface: normals and the material argmin come out of the
+    # march kernel itself (culled), not a dense [N, K] second pass
+    res, nrm, midx = march_surface(scene, rays, cfg.march, sign=sign)
     hit = res.hit & q.active
     missed = q.active & ~res.hit
 
     # Surface frame at hits (backed off by epsilon, SdfObject.fs:73)
     pos = rays.at(res.t - eps)
-    nrm = sdf.scene_normal(scene, pos)
-    midx, albedo = sdf.material_at(scene, pos)
+    midx = jnp.maximum(midx, 0)
+    albedo = sdf.albedo_of(scene, midx, pos)
     mat_kind = jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
 
     filt = spectral.bin_rgb(q.wl) * jnp.float32(cfg.num_bins)  # [C,3]
@@ -177,10 +179,16 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     child_a = mk(a_origin, refl_dir, refl_T, child_a_active, q.inside)
     child_b = mk(b_origin, refr_dir, refr_T, child_b_active, ~q.inside)
 
-    # ---- compaction: 2C → C by throughput (sort-based, static shapes) ------
+    # ---- compaction: 2C → C (sort-based, static shapes) --------------------
+    # Stable partition (actives first, original order preserved): children
+    # inherit the parents' pixel order, so the compacted queue stays
+    # spatially coherent and the march kernel's per-tile cone culling keeps
+    # working across bounces.  On overflow (> C active children, i.e. a
+    # fully specular frame) the tail of the refraction block is dropped;
+    # reflection children and image order are preserved.
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                         child_a, child_b)
-    order = jnp.argsort(-jnp.where(both.active, both.throughput, -1.0))
+    order = jnp.argsort(~both.active, stable=True)
     keep = order[:C]
     new_q = jax.tree.map(lambda x: x[keep], both)
     return new_q, image

@@ -187,15 +187,28 @@ class Oracle:
         """Reference march semantics (SdfForm.tryTrace, SdfForm.fs:93-104):
         miss when budget exhausted (checked first), hit when d < epsilon.
         Returns (hit, t)."""
+        hit, t, _ = self.march_min(origin, direction, epsilon, length,
+                                   max_steps)
+        return hit, t
+
+    def march_min(self, origin: Vec, direction: Vec, epsilon: float,
+                  length: float, max_steps: int = 4096):
+        """March + the minimum SDF value sampled along the way — the
+        grazing-classification diagnostic for the f32-vs-f64 gate tests
+        (a hit/miss flip between precisions is legitimate only when the
+        ray passes within ~epsilon of a surface).  Returns
+        (hit, t, min_d)."""
         t = 0.0
+        min_d = math.inf
         for _ in range(max_steps):
             if t >= length:
-                return False, t
+                return False, t, min_d
             d = self.distance(origin + t * direction)
+            min_d = min(min_d, d)
             if d < epsilon:
-                return True, t
+                return True, t, min_d
             t += d
-        return False, t
+        return False, t, min_d
 
     def material_albedo(self, p: Vec) -> Vec:
         """Argmin-over-material-prims albedo (SdfObject.fs:26-46)."""
@@ -212,9 +225,15 @@ class Oracle:
     # -- shading (SdfScene.fs:7-28, SdfLight.fs) ---------------------------
 
     def shade_ray(self, origin: Vec, direction: Vec, epsilon: float,
-                  length: float) -> Vec:
+                  length: float, aux: dict | None = None) -> Vec:
+        """Shade one ray; when ``aux`` is given, record per-ray diagnostics
+        (hit, t, primary/shadow grazing min-distances, occlusion bits) for
+        the decomposed f32-vs-f64 image gate."""
         bg = np.asarray(self.scene.background, np.float64)
-        hit, t = self.march(origin, direction, epsilon, length)
+        hit, t, min_d = self.march_min(origin, direction, epsilon, length)
+        if aux is not None:
+            aux.update(hit=hit, t=t, min_d=min_d, occluded=[],
+                       shadow_min_d=[])
         if not hit:
             return bg
         pos = origin + (t - epsilon) * direction  # back off by epsilon
@@ -236,8 +255,14 @@ class Oracle:
                 scale = 1.0 / dist2
             cos = float(n @ ldir)
             if cos <= 0.0:
+                if aux is not None:
+                    aux["occluded"].append(False)
+                    aux["shadow_min_d"].append(math.inf)
                 continue
-            occluded, _ = self.march(pos, ldir, epsilon, budget)
+            occluded, _st, smin = self.march_min(pos, ldir, epsilon, budget)
+            if aux is not None:
+                aux["occluded"].append(occluded)
+                aux["shadow_min_d"].append(smin)
             if not occluded:
                 light_acc += np.asarray(light.color, np.float64) * scale * cos
         return albedo * light_acc / math.pi
@@ -247,8 +272,10 @@ class Oracle:
     def render(self, camera_pos, camera_target, up=(0.0, 1.0, 0.0),
                fov_degrees: float = 60.0, width: int = 64, height: int = 64,
                epsilon: float = 0.01, length: float = 30.0,
-               ortho_scale: float = 0.0) -> np.ndarray:
-        """Mirror of camera.py geometry in float64; returns [H, W, 3]."""
+               ortho_scale: float = 0.0,
+               return_aux: bool = False) -> np.ndarray:
+        """Mirror of camera.py geometry in float64; returns [H, W, 3]
+        (+ per-pixel aux dicts [H][W] when ``return_aux``)."""
         pos = np.asarray(camera_pos, np.float64)
         fwd = np.asarray(camera_target, np.float64) - pos
         fwd = fwd / _norm(fwd)
@@ -260,6 +287,7 @@ class Oracle:
             math.radians(fov_degrees) * 0.5)
         m = float(max(width, height))
         img = np.zeros((height, width, 3))
+        auxs = [[None] * width for _ in range(height)] if return_aux else None
         for yy in range(height):
             v = 2.0 * (((height - 1 - yy) + 0.5) / m - 0.5 * height / m)
             for xx in range(width):
@@ -272,5 +300,8 @@ class Oracle:
                     o = pos
                     d = fwd + offset
                     d = d / _norm(d)
-                img[yy, xx] = self.shade_ray(o, d, epsilon, length)
-        return img
+                aux = {} if return_aux else None
+                img[yy, xx] = self.shade_ray(o, d, epsilon, length, aux=aux)
+                if return_aux:
+                    auxs[yy][xx] = aux
+        return (img, auxs) if return_aux else img

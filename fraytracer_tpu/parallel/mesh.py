@@ -86,43 +86,87 @@ def exposure_max_sharded(image: Array, mesh: Mesh) -> Array:
 
 
 def render_spectral_sharded(scene: FlatScene, camera: cam.Camera,
-                            width: int, height: int, wcfg, mesh: Mesh):
+                            width: int, height: int, wcfg, mesh: Mesh,
+                            rebalance: bool = False):
     """Spectral wavefront render with image rows sharded over the mesh.
 
-    Each device runs the full bounce/compaction loop on its own row block's
-    ray queue — wavefront queues are device-local, so compaction needs no
-    cross-chip communication; only the final frame is sharded.
+    ``rebalance=False``: each device runs the full bounce/compaction loop
+    on its own row block's ray queue — queues stay device-local and only
+    the final frame is sharded.
+
+    ``rebalance=True``: between bounce rounds the *global* ray population
+    is compacted and re-sliced evenly across devices (all-gather + stable
+    partition — the fixed-size flavor of SURVEY §2c's all-to-all ray
+    redistribution).  Devices whose rays died early take over live rays
+    from overloaded peers, so every round's march runs at the balanced
+    depth instead of the worst shard's.  Ray contributions then land on
+    foreign pixels, so each device accumulates into a full-frame buffer
+    and one ``psum`` assembles the image at the end.
+
+    Returns ``(image, active_counts [n_dev, depth])`` — the per-device
+    live-ray count entering each round, the load-balance diagnostic.
     """
     import jax.numpy as jnp
 
     from ..ops.wavefront import RayQueue, _bounce
 
     _shard_rows(mesh, height)
+    n_dev = mesh.shape[AXIS]
     base = cam.camera_rays(camera, width, height, wcfg.epsilon, wcfg.length)
 
     def local_fn(scene: FlatScene, rays):
         h_local = rays.origin.shape[0]
         npix = h_local * width
         B = wcfg.num_bins
+        C = npix * B
+        k = jax.lax.axis_index(AXIS)
         o = jnp.repeat(rays.origin.reshape(npix, 3), B, axis=0)
         d = jnp.repeat(rays.direction.reshape(npix, 3), B, axis=0)
-        pixel = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), B)
+        # global pixel ids: rebalanced rays may finish on another device
+        pix0 = k * npix if rebalance else 0
+        pixel = pix0 + jnp.repeat(jnp.arange(npix, dtype=jnp.int32), B)
         wl = jnp.tile(jnp.arange(B, dtype=jnp.int32), npix)
         q = RayQueue(
             origin=o, direction=d, pixel=pixel, wl=wl,
-            throughput=jnp.full((npix * B,), 1.0 / B, jnp.float32),
-            length=jnp.full((npix * B,), wcfg.length, jnp.float32),
-            inside=jnp.zeros((npix * B,), bool),
-            active=jnp.ones((npix * B,), bool),
+            throughput=jnp.full((C,), 1.0 / B, jnp.float32),
+            length=jnp.full((C,), wcfg.length, jnp.float32),
+            inside=jnp.zeros((C,), bool),
+            active=jnp.ones((C,), bool),
         )
-        image = jnp.zeros((npix, 3), jnp.float32)
+        image = jnp.zeros((npix * n_dev if rebalance else npix, 3),
+                          jnp.float32)
+        counts = []
         for bounce in range(wcfg.depth):
+            counts.append(jnp.sum(q.active.astype(jnp.int32)))
+            if rebalance and bounce > 0:
+                # global compaction: gather every device's queue, stable-
+                # partition actives first (preserving pixel coherence),
+                # then give device k the contiguous block
+                # [k·A/n, (k+1)·A/n) of the A live rays — an exact
+                # partition, so no ray is processed twice and every
+                # device marches ~A/n rays instead of its local leftover
+                allq = jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, AXIS, tiled=True), q)
+                order = jnp.argsort(~allq.active, stable=True)
+                A = jnp.sum(allq.active.astype(jnp.int32))
+                start = (k * A) // n_dev
+                share = ((k + 1) * A) // n_dev - start
+                q = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x[order], start, C, 0), allq)
+                lane = jnp.arange(C, dtype=jnp.int32)
+                q = q.replace(active=q.active & (lane < share))
+                counts[-1] = jnp.sum(q.active.astype(jnp.int32))
             q, image = _bounce(scene, q, image, wcfg,
                                is_last=(bounce == wcfg.depth - 1))
-        return image.reshape(h_local, width, 3)
+        if rebalance:
+            image = jax.lax.psum(image, AXIS)
+            image = jax.lax.dynamic_slice_in_dim(image, k * npix, npix, 0)
+        return (image.reshape(h_local, width, 3),
+                jnp.stack(counts)[None, :])
 
     fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(P(), P(AXIS)),
-                       out_specs=P(AXIS), check_vma=False)
+                       out_specs=(P(AXIS), P(AXIS)), check_vma=False)
     return jax.jit(fn)(scene, base)
 
 

@@ -95,6 +95,59 @@ def test_csg_material_subtract_keeps_a():
         assert int(midx[0]) == 0  # red (material index 0)
 
 
+def test_sign_march_pallas_matches_jnp():
+    """Inside-marching (sign=-1) through the Pallas kernel: refraction
+    transmission rays must find the same exit surface as the jnp path.
+    A containing primitive can never be window-skipped (its bound contains
+    the point), so the capped march is exact for negative distances."""
+    scene = ft.flatten(ft.Scene(root=ft.union(
+        ft.sphere((0, 0, 0), 1.0, material=ft.solid(1, 1, 1)),
+        ft.sphere((3, 0, 0), 0.5),
+    )))
+    # rays starting inside the unit sphere, marching outward
+    origins = np.array([[0.0, 0.0, 0.0], [0.2, 0.1, -0.5],
+                        [0.0, 0.0, 0.9]], np.float32)
+    dirs = np.array([[0, 0, 1.0], [0, 0, 1.0], [0, 0, 1.0]], np.float32)
+    rays = ft.make_rays(origins, dirs, 100.0, 1e-3)
+    sign = -jnp.ones(3, jnp.float32)
+    r_j = march(scene, rays, JNP, sign=sign)
+    r_p = march(scene, rays, PAL, sign=sign)
+    np.testing.assert_array_equal(np.asarray(r_j.hit), np.asarray(r_p.hit))
+    np.testing.assert_allclose(np.asarray(r_p.t), np.asarray(r_j.t),
+                               atol=1e-5)
+
+    # fused surface on sign lanes: outward normal + material at the exit
+    res, nrm, midx = march_surface(scene, rays, PAL, sign=sign)
+    assert bool(np.asarray(res.hit).all())
+    pos = rays.at(res.t - rays.epsilon)
+    n_ref = np.asarray(sdf.scene_normal(scene, pos))
+    np.testing.assert_allclose(np.asarray(nrm), n_ref, atol=1e-4)
+
+
+def test_spectral_render_pallas_matches_jnp():
+    """The wavefront integrator (sign lanes, fused surface, coherent
+    compaction) through the pallas backend == jnp backend."""
+    import dataclasses
+    from fraytracer_tpu.ops.wavefront import WavefrontConfig, render_spectral
+    scene = ft.flatten(ft.Scene(
+        root=ft.union(
+            ft.sphere((0, 0.2, 0), 0.9,
+                      material=ft.dielectric(ior=1.5)),
+            ft.plane((0, 1, 0), -1.2, material=ft.solid(0.7, 0.7, 0.7)),
+        ),
+        lights=[ft.directional_light((0.3, -1.0, 0.5), (1.0, 1.0, 1.0))],
+        background=(0.05, 0.05, 0.08)))
+    cam = ft.look_at((0, 0.3, -4), (0, 0, 0))
+    wj = WavefrontConfig(depth=3, epsilon=1e-3, march=JNP)
+    wp = dataclasses.replace(wj, march=PAL)
+    a = np.asarray(render_spectral(scene, cam, 24, 24, wj))
+    b = np.asarray(render_spectral(scene, cam, 24, 24, wp))
+    # hit points drift within the epsilon shell between the two sound
+    # marches; refraction directions amplify that on curved glass
+    assert np.abs(a - b).max() < 5e-2
+    assert np.abs(a - b).mean() < 2e-3
+
+
 def test_fused_gradients_match_nonfused():
     """The fused custom VJP reproduces the unfused (march -> dense normal)
     gradient chain: d(shaded pixel)/d(sphere radius) must agree."""

@@ -149,3 +149,40 @@ def test_inverse_rendering_descends():
     assert float(l) < 0.7 * l0
     assert 0.78 < float(r) < 1.1
 
+
+
+def test_min_denom_silhouette_envelope():
+    """Quantify the min_denom grazing-incidence clamp (ops/march.py): for
+    a unit sphere the exact sensitivity of the hit distance to the radius
+    is dt*/dr = -1/cos(theta) with cos(theta) = sqrt(1 - b^2/r^2) at impact
+    parameter b.  The implicit-diff VJP clamps the denominator at
+    min_denom, so
+
+    * away from the silhouette (cos >= 2*min_denom) gradients are exact;
+    * inside the clamp band the gradient saturates at -1/min_denom —
+      the documented error envelope for inverse rendering (config 5).
+    """
+    import numpy as np
+    from fraytracer_tpu.ops.march import MarchConfig, march
+
+    MD = 0.05
+    cfg = MarchConfig(backend="jnp", max_steps=4096, min_denom=MD,
+                      bound_skip=False)
+    scene = ft.flatten(ft.Scene(root=ft.sphere((0.0, 0.0, 0.0), 1.0)))
+
+    def t_of(r, b):
+        s = scene.replace(prim_params={
+            "sphere": scene.prim_params["sphere"].at[0, 3].set(r)})
+        rays = ft.make_rays([[b, 0.0, -5.0]], [[0.0, 0.0, 1.0]],
+                            100.0, 1e-5)
+        return jnp.sum(march(s, rays, cfg).t)
+
+    for b in (0.0, 0.5, 0.9, 0.99, 0.999, 0.99999):
+        cos = float(np.sqrt(max(1.0 - b * b, 0.0)))
+        g = float(jax.grad(t_of)(jnp.float32(1.0), jnp.float32(b)))
+        expected = -1.0 / max(cos, MD)
+        # the epsilon shell shifts the effective cos by O(eps); compare
+        # against the clamp model with a matching tolerance
+        assert abs(g - expected) < 0.03 * abs(expected) + 2e-2, \
+            (b, cos, g, expected)
+        assert abs(g) <= 1.0 / MD + 1e-3  # saturation bound always holds

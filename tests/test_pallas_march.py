@@ -214,7 +214,9 @@ def test_axial_window_keys_sound(rng):
     primitive that is within `clamp` of an active ray point: for random
     sub-ranges [tau_lo, tau_hi] of each tile's march range, every primitive
     whose bound comes within clamp of a sampled point must satisfy
-    lo_key >= tau_lo*cos_lo - clamp and hi_key <= tau_hi + clamp."""
+    lo_key >= plo - clamp and hi_key <= phi + clamp, where plo/phi are the
+    per-lane axial range bounds min(oa + tau_lo*cos_lo) / max(oa + tau_hi)
+    the kernel computes."""
     import jax.numpy as jnp
     from fraytracer_tpu.ops import sdf as S
     from fraytracer_tpu.ops.pallas.march_kernel import (RAY_TILE,
@@ -233,6 +235,8 @@ def test_axial_window_keys_sound(rng):
 
     o = np.asarray(rays.origin).reshape(grid, RAY_TILE, 3)
     d = np.asarray(rays.direction).reshape(grid, RAY_TILE, 3)
+    apex = np.asarray(cones.apex)
+    axis = np.asarray(cones.axis)
     b = np.asarray(bounds)
     idx = np.asarray(sel.idx)
     lo_key = np.asarray(sel.lo_key)
@@ -241,9 +245,12 @@ def test_axial_window_keys_sound(rng):
     for g in range(grid):
         cnt = int(np.asarray(sel.count)[g])
         row_of = {int(idx[g, j]): j for j in range(min(cnt, m))}
+        oa = np.sum((o[g] - apex[g]) * axis[g], axis=-1)  # [RAY_TILE]
         for _ in range(6):
             tau_lo = float(rng.uniform(0, 25))
             tau_hi = tau_lo + float(rng.uniform(0.1, 5))
+            plo = (oa + tau_lo * cos_lo[g]).min()
+            phi = (oa + tau_hi).max()
             sel_rays = rng.choice(RAY_TILE, size=12, replace=False)
             ts = np.linspace(tau_lo, tau_hi, 12)
             pts = (o[g, sel_rays, None, :]
@@ -255,9 +262,9 @@ def test_axial_window_keys_sound(rng):
                 j = row_of.get(int(prim))
                 if j is None:
                     continue  # covered by the selection-soundness test
-                assert lo_key[g, j] >= tau_lo * cos_lo[g] - clamp, \
+                assert lo_key[g, j] >= plo - clamp, \
                     (g, int(prim), "behind-skip would drop a near prim")
-                assert hi_key[g, j] <= tau_hi + clamp, \
+                assert hi_key[g, j] <= phi + clamp, \
                     (g, int(prim), "ahead-skip would drop a near prim")
 
 

@@ -95,10 +95,49 @@ def test_spectral_sharded_matches_single(scene, camera):
     wcfg = WavefrontConfig(depth=2, epsilon=0.02, length=30.0,
                            march=MarchConfig(max_steps=48))
     mesh = make_mesh(8)
-    sharded = np.asarray(render_spectral_sharded(
-        scene, camera, 16, 32, wcfg, mesh))
+    sharded, _counts = render_spectral_sharded(
+        scene, camera, 16, 32, wcfg, mesh)
     single = np.asarray(render_spectral(scene, camera, 16, 32, wcfg))
-    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded), single, atol=1e-5)
+
+
+def test_spectral_rebalanced_matches_and_balances(camera):
+    """Cross-chip wavefront rebalancing (SURVEY §2c ray redistribution):
+    the rebalanced render must produce the same image, and the live-ray
+    load entering later rounds must be measurably more even across the
+    mesh than with device-local queues."""
+    from fraytracer_tpu.ops.wavefront import WavefrontConfig
+    from fraytracer_tpu.parallel.mesh import render_spectral_sharded
+
+    # asymmetric scene: a dielectric sphere near the top rows spawns
+    # secondary rays on few devices only -> device-local queues imbalance
+    sc = ft.flatten(ft.Scene(
+        root=ft.union(
+            ft.sphere((0, 0.9, 0), 0.8, material=ft.dielectric(ior=1.5)),
+            ft.plane((0, 1, 0), -1.4, material=ft.solid(0.7, 0.7, 0.7)),
+        ),
+        lights=[ft.directional_light((0.3, -1.0, 0.5), (1.0, 1.0, 1.0))],
+        background=(0.05, 0.05, 0.08)))
+    wcfg = WavefrontConfig(depth=3, epsilon=1e-3, length=30.0,
+                           march=MarchConfig(max_steps=96))
+    mesh = make_mesh(8)
+    img_local, c_local = render_spectral_sharded(
+        sc, camera, 16, 32, wcfg, mesh, rebalance=False)
+    img_reb, c_reb = render_spectral_sharded(
+        sc, camera, 16, 32, wcfg, mesh, rebalance=True)
+    np.testing.assert_allclose(np.asarray(img_reb), np.asarray(img_local),
+                               atol=1e-5)
+
+    def imbalance(counts):  # max/mean of per-device live rays, round >= 1
+        c = np.asarray(counts, np.float64)[:, 1:]
+        tot = c.sum(axis=0)
+        live = tot > 0
+        return float((c.max(axis=0)[live]
+                      / (tot[live] / c.shape[0])).max())
+    assert imbalance(c_reb) <= imbalance(c_local) + 1e-6
+    # secondary rounds exist and the rebalanced load is near-perfectly even
+    assert np.asarray(c_local)[:, 1].sum() > 0
+    assert imbalance(c_reb) < 1.5
 
 
 def test_sharded_render_with_pallas_backend(scene, camera):
