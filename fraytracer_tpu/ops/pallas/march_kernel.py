@@ -528,7 +528,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     for g in groups:
         slot_gid[list(g.slots)] = g.gid
 
-    # dense slots: (kind, ki, row, gid, mat) for every non-culled primitive
+    # dense slots: (kind, ki, row, gid, mat, slot) per non-culled primitive
     dense_slots = []
     for kind, cnt in kind_counts:
         for row in range(cnt):
@@ -537,8 +537,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             s = offsets[kind] + row
             mat = mat_vis[s] if mat_vis else -1
             dense_slots.append((kind, kind_index[kind], row,
-                                int(slot_gid[s]), mat))
+                                int(slot_gid[s]), mat, s))
     dense_mode = "scalar" if len(dense_slots) <= DENSE_SCALAR_MAX else "chunk"
+    # surface strategy: CSG min/max selects one leaf -> track its slot and
+    # build the normal host-side from the leaf's closed form; smooth
+    # unions blend leaves and need the in-kernel AD variant
+    slot_mode = not any(g.op == "sumexp" for g in groups)
 
     # chunk tables for dense 'chunk' mode (and material info per chunk)
     chunks = []
@@ -680,7 +684,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             fold_value(accs, gid, gval)
 
         if dense_mode == "scalar":
-            for (kind, s_params, gid, _mat) in dense_consts:
+            for (kind, s_params, gid, _mat, _slot) in dense_consts:
                 fn = _scalar_fn(kind, prepped=False)
                 d = fn(s_params, px, py, pz)
                 if groups[gid].op == "sumexp":
@@ -711,7 +715,177 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             wsum = wsum + w
         return ev_tree(resolve_groups(accs), tree), wsum
 
-    # ---- surface pass: value + gradient + material ----------------------
+    # ---- surface pass (slot mode): winning leaf + material ---------------
+    # CSG min/max selects exactly one leaf primitive at any surface point,
+    # so instead of in-kernel AD the kernel can track the winning leaf's
+    # global slot (plus a sign flip through subtract) and let the host
+    # compute the normal from that leaf's closed form — differentiably and
+    # outside the custom VJP.  Only smooth unions (sumexp) blend leaves and
+    # need the AD variant below.
+
+    def surface_eval_slot(param_refs, gid_ref, mat_ref, pair_refs,
+                          dense_consts, px, py, pz, t, oa, hitm):
+        """Returns (win_code, material_index) as f32 (8,128) arrays, where
+        win_code = sign·(global_slot + 1) of the winning leaf (0 = none)."""
+        shp = px.shape
+        vs = []          # per group: [value, slot_code]
+        for g in groups:
+            init_v = _BIG if g.op == "min" else -_BIG
+            vs.append([jnp.full(shp, init_v), jnp.zeros(shp)])
+        md = jnp.full(shp, _BIG)     # material argmin distance
+        ms = jnp.full(shp, -1.0)     # material index (f32)
+
+        for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
+            cand_ref, keys_ref = pair_refs[pi]
+            P = PARAM_WIDTH[kind]
+            fn = _scalar_fn(kind, prepped=True)
+            m = pair_m[pi]
+
+            def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
+                          fn=fn, P=P, m=m):
+                # one loop over the whole candidate list: the material
+                # winner can be far from the hit (cutter surfaces), and it
+                # subsumes the hit-shell window for the leaf argmin
+                count = keys_ref[0, 2, 0]
+                n_c = jnp.minimum(count, float(m)).astype(jnp.int32)
+
+                def body(cb, carry):
+                    bd, bs, md_, ms_ = carry
+                    c0 = cb * CAND_UNROLL
+                    for k in range(CAND_UNROLL):
+                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
+                        mat = cand_ref[c0 + k, P]
+                        slot = cand_ref[c0 + k, P + 1]
+                        d = fn(s, px, py, pz)
+                        better = (d < bd) & hitm
+                        bd = jnp.where(better, d, bd)
+                        bs = jnp.where(better, slot + 1.0, bs)
+                        mb = (d < md_) & (mat >= 0.0)
+                        md_ = jnp.where(mb, d, md_)
+                        ms_ = jnp.where(mb, mat, ms_)
+                    return bd, bs, md_, ms_
+
+                init = (jnp.full(shp, _BIG), jnp.zeros(shp), md, ms)
+                return jax.lax.fori_loop(
+                    0, (n_c + CAND_UNROLL - 1) // CAND_UNROLL, body, init)
+
+            def full_sp(_, ki=ki, row_lo=row_lo, row_hi=row_hi, kind=kind):
+                soa = _soa_fn(kind)
+                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+                gslot0 = offsets[kind]
+                bd = jnp.full(shp, _BIG)
+                bs = jnp.zeros(shp)
+                md_, ms_ = md, ms
+                for r0 in range(row_lo, row_hi, prim_chunk):
+                    rc = min(prim_chunk, row_hi - r0)
+                    params = param_refs[ki][r0:r0 + rc, :]
+                    d3 = soa(params, px3, py3, pz3)
+                    dmin = jnp.min(d3, axis=-1)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, rc), 2)
+                    first = jnp.min(jnp.where(d3 <= dmin[..., None],
+                                              lane, rc), axis=-1)
+                    slotc = (first + (gslot0 + r0 + 1)).astype(jnp.float32)
+                    better = (dmin < bd) & hitm
+                    bd = jnp.where(better, dmin, bd)
+                    bs = jnp.where(better, slotc, bs)
+                    mats = mat_ref[gslot0 + r0:gslot0 + r0 + rc] \
+                        .reshape(1, 1, rc)
+                    dmm = jnp.where(mats >= 0.0, d3, _BIG)
+                    mmin = jnp.min(dmm, axis=-1)
+                    mfirst = jnp.min(jnp.where(dmm <= mmin[..., None],
+                                               lane, rc), axis=-1)
+                    onehot = lane == mfirst[..., None]
+                    mval = jnp.sum(jnp.where(onehot, mats, 0.0), axis=-1)
+                    mb = (mmin < md_) & (mval >= 0.0)
+                    md_ = jnp.where(mb, mmin, md_)
+                    ms_ = jnp.where(mb, mval, ms_)
+                return bd, bs, md_, ms_
+
+            count = pair_refs[pi][1][0, 2, 0]
+            bd, bs, md, ms = jax.lax.cond(
+                count <= float(m), culled_sp, full_sp, 0)
+            g = groups[gid]
+            if g.op == "min":
+                better = bd < vs[gid][0]
+            else:
+                better = bd > vs[gid][0]
+            vs[gid] = [jnp.where(better, bd, vs[gid][0]),
+                       jnp.where(better, bs, vs[gid][1])]
+
+        if dense_mode == "scalar":
+            for (kind, s_params, gid, mat, slot) in dense_consts:
+                fn = _scalar_fn(kind, prepped=False)
+                d = fn(s_params, px, py, pz)
+                g = groups[gid]
+                better = (d < vs[gid][0]) if g.op == "min" \
+                    else (d > vs[gid][0])
+                vs[gid] = [jnp.where(better, d, vs[gid][0]),
+                           jnp.where(better, float(slot + 1), vs[gid][1])]
+                if mat >= 0:
+                    mb = d < md
+                    md = jnp.where(mb, d, md)
+                    ms = jnp.where(mb, float(mat), ms)
+        else:
+            px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
+            for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
+                params = param_refs[ki][r0:r0 + rows, :]
+                soa = _soa_fn(kind)
+                d3 = soa(params, px3, py3, pz3)
+                gid_chunk = gid_ref[gs0:gs0 + rows].reshape(1, 1, rows)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
+                for gi, g in enumerate(groups):
+                    if not group_in_chunk[gi][ci]:
+                        continue
+                    maskc = gid_chunk == g.gid
+                    if g.op == "min":
+                        dm = jnp.where(maskc, d3, _BIG)
+                        red = jnp.min(dm, axis=-1)
+                        first = jnp.min(jnp.where(dm <= red[..., None],
+                                                  lane, rows), axis=-1)
+                        better = (red < vs[gi][0]) & hitm
+                    else:
+                        dm = jnp.where(maskc, d3, -_BIG)
+                        red = jnp.max(dm, axis=-1)
+                        first = jnp.min(jnp.where(dm >= red[..., None],
+                                                  lane, rows), axis=-1)
+                        better = (red > vs[gi][0]) & hitm
+                    slotc = (first + (gs0 + 1)).astype(jnp.float32)
+                    vs[gi] = [jnp.where(better, red, vs[gi][0]),
+                              jnp.where(better, slotc, vs[gi][1])]
+                mats = mat_ref[gs0:gs0 + rows].reshape(1, 1, rows)
+                dmm = jnp.where(mats >= 0.0, d3, _BIG)
+                mmin = jnp.min(dmm, axis=-1)
+                mfirst = jnp.min(jnp.where(dmm <= mmin[..., None],
+                                           lane, rows), axis=-1)
+                onehot = lane == mfirst[..., None]
+                mval = jnp.sum(jnp.where(onehot, mats, 0.0), axis=-1)
+                mb = (mmin < md) & (mval >= 0.0)
+                md = jnp.where(mb, mmin, md)
+                ms = jnp.where(mb, mval, ms)
+
+        def ev_s(node):
+            if node[0] == "g":
+                return tuple(vs[node[1]])
+            op, _k, kids = node
+            vals = [ev_s(x) for x in kids]
+            if op == "subtract":
+                (va, ca), (vb, cb) = vals
+                sel = va > -vb
+                return (jnp.maximum(va, -vb),
+                        jnp.where(sel, ca, -cb))
+            out = vals[0]
+            for v in vals[1:]:
+                sel = (out[0] <= v[0]) if op == "union" else \
+                    (out[0] >= v[0])
+                out = (jnp.where(sel, out[0], v[0]),
+                       jnp.where(sel, out[1], v[1]))
+            return out
+
+        _v, code = ev_s(tree)
+        return code, ms
+
+    # ---- surface pass (AD mode): value + gradient + material -------------
 
     def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
                      px, py, pz, t, oa, hitm):
@@ -893,7 +1067,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             fold_vg(gid, bd, bgx, bgy, bgz)
 
         if dense_mode == "scalar":
-            for (kind, s_params, gid, mat) in dense_consts:
+            for (kind, s_params, gid, mat, _slot) in dense_consts:
                 fn = _scalar_fn(kind, prepped=False)
                 d, gx, gy, gz = val_grad(fn, s_params)
                 fold_vg(gid, d, gx, gy, gz)
@@ -1030,10 +1204,10 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         # hoist loop-invariant dense scalar parameters out of the march
         dense_consts = []
         if dense_mode == "scalar":
-            for (kind, ki, row, gid, mat) in dense_slots:
+            for (kind, ki, row, gid, mat, slot) in dense_slots:
                 P = PARAM_WIDTH[kind]
                 s = tuple(param_refs[ki][row, j] for j in range(P))
-                dense_consts.append((kind, s, gid, mat))
+                dense_consts.append((kind, s, gid, mat, slot))
 
         def dist_at(t, active):
             px = origin[0] + t * direc[0]
@@ -1127,22 +1301,39 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             steps_out[:, :] = jnp.full(length.shape, i, jnp.int32)
 
         if want_surface:
-            nx_out, ny_out, nz_out, mat_out = outs[4:]
             hitm = hit > 0.0
             ts = t - eps                      # backed-off (SdfObject.fs:73)
             px = origin[0] + ts * direc[0]
             py = origin[1] + ts * direc[1]
             pz = origin[2] + ts * direc[2]
-            gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
-                                          pair_refs, dense_consts,
-                                          px, py, pz, t, oa, hitm)
-            inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
-            nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
-            ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
-            nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
-            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+            if slot_mode:
+                win_out, mat_out = outs[4:]
+                code, ms = surface_eval_slot(
+                    param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
+                    px, py, pz, t, oa, hitm)
+                win_out[:, :] = jnp.where(hitm, code, 0.0) \
+                    .astype(jnp.int32)
+                mat_out[:, :] = jnp.where(hitm, ms, -1.0) \
+                    .astype(jnp.int32)
+            else:
+                nx_out, ny_out, nz_out, mat_out = outs[4:]
+                gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
+                                              pair_refs, dense_consts,
+                                              px, py, pz, t, oa, hitm)
+                inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
+                nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
+                ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
+                nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
+                mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
 
-    return kernel, n_kinds, slot_gid, dense_mode
+    return kernel, n_kinds, slot_gid, dense_mode, slot_mode
+
+
+def slot_surface_mode(plan: Plan) -> bool:
+    """True when the fused surface pass reports the winning leaf's slot
+    (no smooth unions in the plan) for host-side closed-form normals."""
+    groups, _tree = _build_groups(plan)
+    return not any(g.op == "sumexp" for g in groups)
 
 
 def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
@@ -1200,7 +1391,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     cull_m = cfg.cull_m if pairs else 0
 
     mat_vis = visible_materials(scene.plan, scene.prim_material)
-    kernel, n_kinds, slot_gid, _dm = _build_kernel(
+    kernel, n_kinds, slot_gid, _dm, slot_mode = _build_kernel(
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
         pairs, cull_m, cfg.relax_omega, want_surface, mat_vis,
         has_sign=sign is not None)
@@ -1242,9 +1433,12 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             mats_np = np.array(
                 [float(mat_vis[offsets[kind] + r])
                  for r in range(row_lo, row_hi)], np.float32)
+            slots_np = np.arange(offsets[kind] + row_lo,
+                                 offsets[kind] + row_hi, dtype=np.float32)
             table = jnp.concatenate(
                 [prepped[sel.idx],                           # [G, m, P]
-                 jnp.asarray(mats_np)[sel.idx][..., None]],  # [G, m, 1]
+                 jnp.asarray(mats_np)[sel.idx][..., None],   # [G, m, 1]
+                 jnp.asarray(slots_np)[sel.idx][..., None]],  # global slot
                 axis=-1)
             pw = table.shape[-1]
             misc = jnp.zeros((grid, m), jnp.float32)
@@ -1276,9 +1470,15 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     ]
     out_specs = [ray_spec] * 4
     if want_surface:
-        out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
-            + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
-        out_specs += [ray_spec] * 4
+        if slot_mode:
+            # winning-leaf code + material index
+            out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE),
+                                               jnp.int32)] * 2
+            out_specs += [ray_spec] * 2
+        else:
+            out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
+                + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
+            out_specs += [ray_spec] * 4
 
     params = [jax.lax.stop_gradient(scene.prim_params[k])
               for k, _ in scene.kind_counts]
@@ -1305,6 +1505,10 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     res = MarchResult(hit=hit, t=t_k, distance=d_k, steps=steps_k)
     if not want_surface:
         return res
+    if slot_mode:
+        code = outs[4].reshape(npad)[:n]
+        midx = outs[5].reshape(npad)[:n]
+        return res, jnp.where(hit, code, 0), jnp.where(hit, midx, -1)
     nx, ny, nz = [o.reshape(npad)[:n] for o in outs[4:7]]
     midx = outs[7].reshape(npad)[:n]
     normal = jnp.stack([nx, ny, nz], axis=-1)

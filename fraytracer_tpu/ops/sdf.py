@@ -231,6 +231,42 @@ def albedo_of(scene: FlatScene, midx: Array, p: Array) -> Array:
     return albedo
 
 
+def leaf_normal(scene: FlatScene, code: Array, p: Array) -> Array:
+    """Unit surface normal from a winning-leaf code at points ``p``.
+
+    ``code = sign·(global_slot + 1)`` names the single primitive whose
+    (possibly negated, through subtract) gradient is the scene gradient at
+    a CSG min/max surface point — the march kernel's fused surface pass
+    emits it.  Differentiable w.r.t. both ``scene`` and ``p`` (the leaf
+    choice itself is discrete and held fixed, exactly like the dense
+    ``scene_normal``'s argmin branch).  ``code == 0`` lanes (misses)
+    return (0, 0, 1).
+    """
+    slot = jnp.abs(code) - 1
+    sgn = jnp.sign(code).astype(jnp.float32)
+    g = jnp.zeros_like(p)
+    off = 0
+    for kind, cnt in scene.kind_counts:
+        sel = (slot >= off) & (slot < off + cnt)
+        idx = jnp.clip(slot - off, 0, cnt - 1)
+        params = scene.prim_params[kind][idx]          # [..., P]
+        fn = _DIST_FNS[kind]
+
+        def one(pr, q, fn=fn):
+            return fn(pr[None, :], q)[..., 0]
+
+        gk = jax.grad(
+            lambda q, params=params: jnp.sum(
+                jax.vmap(one)(params.reshape(-1, params.shape[-1]),
+                              q.reshape(-1, 3)))
+        )(p)
+        g = jnp.where(sel[..., None], gk, g)
+        off += cnt
+    n = normalize(g) * jnp.where(sgn < 0.0, -1.0, 1.0)[..., None]
+    return jnp.where((code != 0)[..., None], n,
+                     jnp.asarray([0.0, 0.0, 1.0], p.dtype))
+
+
 def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
     """Winning material at ``p``: argmin of distance over *CSG-visible*
     material-bearing primitives (the reference's second spatial lookup,

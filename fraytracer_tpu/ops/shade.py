@@ -91,93 +91,34 @@ def light_dir_and_dist(scene: FlatScene, i: int, pos: Array):
     raise ValueError(f"bad light kind {kind}")
 
 
-def _spread3(x: Array) -> Array:
-    """Spread 10 bits of x to every 3rd bit (Morton interleave helper)."""
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
-def _morton_order(scene: FlatScene, pos: Array, live: Array):
-    """Sort order over flat lanes by the Morton code of the (quantized)
-    position inside the scene's root bound; non-live lanes go last.
-
-    Shadow rays originate at hit points; a pixel tile spanning a depth
-    discontinuity has hit points spread across the scene, which inflates
-    the shadow march's per-tile cull cone.  Re-tiling the shadow rays by
-    3-D position locality keeps origin patches compact — the same job the
-    reference grid's per-cell locality does for its shadow re-entry
-    (SdfBoundary.fs:225-282 via SdfLight.fs:10-21)."""
-    bound = sdf.root_bound(scene)
-    lo = bound[0:3] - bound[3]
-    q = (pos - lo) / jnp.maximum(2.0 * bound[3], 1e-6)
-    q = jnp.clip((q * 1023.0), 0.0, 1023.0).astype(jnp.int32)
-    key = ((_spread3(q[..., 0]) << 2) | (_spread3(q[..., 1]) << 1)
-           | _spread3(q[..., 2]))
-    key = jnp.where(live, key, jnp.int32(1 << 30))
-    order = jnp.argsort(key)
-    return order, jnp.argsort(order)
-
-
 def shade(scene: FlatScene, rays: Rays, hit: SurfaceHit,
           cfg: MarchConfig = MarchConfig()) -> Array:
-    """Shade a batch of surface hits → linear RGB ``[..., 3]``."""
-    light_acc = jnp.broadcast_to(scene.background, hit.position.shape)
-    batch = hit.hit.shape
-    L = scene.num_lights
+    """Shade a batch of surface hits → linear RGB ``[..., 3]``.
 
-    lds, facings, scales, coss = [], [], [], []
-    for i in range(L):
+    Shadow rays march per light, in the pixel-tile order of the primary
+    rays.  (Measured dead ends on the benchmark: batching all lights into
+    one kernel call serializes against its own candidate prep, +68 ms;
+    re-tiling shadow rays by hit-point Morton locality costs more in
+    sorts/gathers and mixed tiles than it saves in cull width, +47 ms.)
+    """
+    light_acc = jnp.broadcast_to(scene.background, hit.position.shape)
+
+    for i in range(scene.num_lights):
         ldir, budget, scale = light_dir_and_dist(scene, i, hit.position)
         cos = dot(hit.normal, ldir)
         facing = hit.hit & (cos > 0.0)
-        lds.append((ldir, budget))
-        facings.append(facing)
-        scales.append(scale)
-        coss.append(cos)
-
-    if cfg.backend.startswith("pallas") and L:
-        # one batched march for all lights' shadow rays, re-tiled by hit
-        # position locality (see _morton_order)
-        def flat(x):
-            return x.reshape((-1,) + x.shape[len(batch):])
-
-        pos_f = flat(hit.position)
-        order, inv = _morton_order(scene, pos_f, flat(hit.hit))
-        parts = []
-        for i in range(L):
-            ldir, budget = lds[i]
-            sr = Rays(origin=pos_f[order],
-                      direction=flat(ldir)[order],
-                      length=flat(jnp.where(facings[i], budget, 0.0))[order],
-                      epsilon=flat(rays.epsilon)[order])
-            parts.append(sr)
-        allr = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-        occ_all = march(scene, allr, cfg).hit
-        n = pos_f.shape[0]
-        occs = [occ_all[i * n:(i + 1) * n][inv].reshape(batch)
-                for i in range(L)]
-    else:
-        occs = []
-        for i in range(L):
-            ldir, budget = lds[i]
-            shadow_rays = Rays(
-                origin=hit.position,
-                direction=ldir,
-                # only march facing lanes: zero budget de-activates the rest
-                length=jnp.where(facings[i], budget, 0.0),
-                epsilon=rays.epsilon,
-            )
-            occs.append(march(scene, shadow_rays, cfg).hit)
-
-    for i in range(L):
-        contrib = (scene.light_color[i] * scales[i][..., None]
-                   * coss[i][..., None])
+        shadow_rays = Rays(
+            origin=hit.position,
+            direction=ldir,
+            # only march facing lanes: zero budget de-activates the rest
+            length=jnp.where(facing, budget, 0.0),
+            epsilon=rays.epsilon,
+        )
+        occluded = march(scene, shadow_rays, cfg).hit
+        contrib = (scene.light_color[i] * scale[..., None]
+                   * cos[..., None])
         light_acc = light_acc + jnp.where(
-            (facings[i] & ~occs[i])[..., None], contrib, 0.0)
+            (facing & ~occluded)[..., None], contrib, 0.0)
 
     lit = hit.color * light_acc * jnp.float32(1.0 / math.pi)
     # add emission (wavefront/spectral materials; zero for plain solids)
