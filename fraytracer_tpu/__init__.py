@@ -30,7 +30,7 @@ from .ops.sdf import (material_at, prim_bounds, prim_distances, root_bound,
 from .ops.shade import surface_hit, trace
 from .ops.tonemap import tonemap
 from .render import (RenderConfig, render, render_image, render_rays,
-                     render_scene)
+                     render_scene, render_with_stats)
 from .scene.flatten import FlatScene, flatten
 from .scene.nodes import (Light, Material, Scene, SdfNode, box, capsule, cone,
                           dielectric, directional_light, emissive, intersect,
@@ -48,6 +48,7 @@ __all__ = [
     "scene_distance", "scene_normal",
     "surface_hit", "trace", "tonemap",
     "RenderConfig", "render", "render_image", "render_rays", "render_scene",
+    "render_with_stats",
     "FlatScene", "flatten",
     "Light", "Material", "Scene", "SdfNode", "box", "capsule", "cone",
     "dielectric", "directional_light", "emissive", "intersect", "mirror",

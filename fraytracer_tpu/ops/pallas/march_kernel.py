@@ -364,19 +364,30 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     safe_n = jnp.maximum(n_act, 1.0)
 
     apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]  # [G,3]
-    rho2 = jnp.sum((o - apex[:, None, :]) ** 2, axis=-1)
-    rho = jnp.sqrt(jnp.max(jnp.where(act > 0.0, rho2, 0.0), axis=1))
     axis = jnp.sum(d * act[..., None], axis=1)
     norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
     axis = jnp.where(norm > 1e-12, axis / jnp.maximum(norm, 1e-12),
                      jnp.array([0.0, 0.0, 1.0]))
+    # lateral slack: only the component of the origin spread PERPENDICULAR
+    # to the cone axis widens the reachable set laterally — the parallel
+    # component is carried exactly per lane (oa) and by o_off_lo/hi.  Using
+    # the full 3-D spread here made shadow tiles spanning depth along the
+    # light direction inflate every candidate radius by scene scale.
+    o_rel = o - apex[:, None, :]
+    o_par = jnp.sum(o_rel * axis[:, None, :], axis=-1)
+    rho2 = jnp.maximum(jnp.sum(o_rel * o_rel, axis=-1) - o_par * o_par, 0.0)
+    rho = jnp.sqrt(jnp.max(jnp.where(act > 0.0, rho2, 0.0), axis=1))
     cosd = jnp.sum(d * axis[:, None, :], axis=-1)
     cos_min = jnp.min(jnp.where(act > 0.0, cosd, 1.0), axis=1)
     # cone-width cosine: clipped away from 0 (the sin/cos split below needs
-    # it); axial-projection cosine: floored at 0 only, so lower bounds like
-    # t·cos_lo stay sound for arbitrarily divergent tiles (advisor round 1)
+    # it); axial-projection cosine: UNCLIPPED below zero — a lane with
+    # direction·axis < 0 marches its axial coordinate *down* to
+    # oa + t·cos_min, so flooring at 0 would overestimate the minimum axial
+    # position and let backward-pointing lanes march through skipped
+    # primitives (advisor round 2, high).  All consumers (candidate entry
+    # bound, per-step behind-skip, cap) are sound for negative cos_lo.
     cos_half = jnp.clip(cos_min, 1e-3, 1.0)
-    cos_lo = jnp.clip(cos_min, 0.0, 1.0)
+    cos_lo = jnp.minimum(cos_min, 1.0)
     o_off = jnp.sum((o - apex[:, None, :]) * axis[:, None, :], axis=-1)
     o_off_lo = jnp.min(jnp.where(act > 0.0, o_off, _BIG), axis=1)
     o_off_hi = jnp.max(jnp.where(act > 0.0, o_off, -_BIG), axis=1)
@@ -425,11 +436,38 @@ def _cone_candidates(bounds: Array, cones: TileCones,
     a = jnp.sum(v * cones.axis[:, None, :], axis=-1)   # [G,Kg]
     v2 = jnp.sum(v * v, axis=-1)
     p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
+    # Lateral wedge test.  Every reachable point x = o_i + t·d_i has, in
+    # apex coordinates (axial α, lateral λ):
+    #   λ(x) ≤ rho_perp + t·sin_half      (margin carries rho_perp + 2eps)
+    #   α(x) = o_par_i + t·cos(d_i,axis)  with cos ∈ [cos_lo, 1]
+    # so at axial position α the largest t any lane can have is
+    #   t_reach(α) = min(max_len, (α - o_off_lo)/cos_lo)   for cos_lo > 0
+    #              = max_len                                for cos_lo ≤ 0
+    # (backward-pointing lanes decouple t from α).  A candidate sphere at
+    # (a, p, radius r) can only touch the wedge if p ≤ r + sin_half·
+    # t_reach(a + r).  This is the cone test for coherent camera tiles
+    # (rho_perp ≈ 0, cos_lo ≈ 1 → λ ≤ sinθ·α) but stays sound — unlike a
+    # one-sided cone from the apex — for tiles with axially spread origins
+    # (shadow tiles) and for divergent tiles with cos_lo ≤ 0 (advisor
+    # round 2, high), where it degrades gracefully to a cylinder/ball.
     sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
-    cone_dist = cones.cos_half[:, None] * p - sin_half[:, None] * a
+    ml = cones.max_len[:, None]
+    t_reach = jnp.where(
+        cones.cos_lo[:, None] > 0.0,
+        jnp.clip((a + r - cones.o_off_lo[:, None])
+                 / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
+        ml)
     near = v2 <= r * r
-    cand = (near | (cone_dist <= r)) \
-        & (a + r >= (cones.t_min * cones.cos_lo + cones.o_off_lo)[:, None]) \
+    lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
+    # entry-side axial bound: the minimum axial position a lane can reach is
+    # oa + t·cos_lo over t ∈ [t_min, max_len] — minimized at t_min for
+    # cos_lo ≥ 0 but at max_len when cos_lo < 0 (backward-pointing lanes
+    # march their axial coordinate down; advisor round 2, high)
+    ax_entry = jnp.where(cones.cos_lo >= 0.0,
+                         cones.t_min * cones.cos_lo,
+                         cones.max_len * cones.cos_lo) + cones.o_off_lo
+    cand = lateral_ok \
+        & (a + r >= ax_entry[:, None]) \
         & (a - r <= (cones.max_len + cones.o_off_hi)[:, None]) \
         & cones.any_active[:, None]
     count = jnp.sum(cand.astype(jnp.int32), axis=-1)
@@ -502,12 +540,23 @@ def _pair_window(keys_ref, t, oa, lane_mask, slots: int,
 def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   max_steps: int, prim_chunk: int,
                   cull_pairs: Tuple = (), cull_m: int = 0,
-                  omega: float = 1.0, want_surface: bool = False,
+                  omega: float = 1.0, mode: str = "march",
                   mat_vis: Tuple[int, ...] = (), has_sign: bool = False):
     """Build the pallas kernel fn for a scene structure.  Cached.
 
-    Returns (kernel, n_kinds, slot_gid, dense_mode) where dense_mode is
-    'scalar' or 'chunk'."""
+    ``mode`` selects the program: ``"march"`` = the sphere-trace loop
+    (t/hit/d/steps outputs); ``"surface"`` = the one-shot surface pass at
+    given hit points (winning-leaf slot + material in slot mode, in-kernel
+    AD normals + material otherwise).  Keeping the two in separate Mosaic
+    programs is deliberate: round 2 fused them (plus per-pair culled/full
+    ``lax.cond`` double-emissions) into one kernel and Mosaic compile time
+    exploded to 29 minutes; small single-purpose programs compile in
+    seconds.  Candidate-list overflow no longer has an in-kernel fallback —
+    the host wraps the kernel in a ``lax.cond`` dense fallback instead
+    (see ``pallas_march_raw``).
+
+    Returns (kernel, n_kinds, slot_gid, dense_mode, slot_mode) where
+    dense_mode is 'scalar' or 'chunk'."""
     groups, tree = _build_groups(plan)
 
     # rows excluded from the dense sweep (handled by culled passes)
@@ -650,36 +699,47 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                             fn=fn, P=P, m=m):
                 _count, w_lo, w_hi, cap = _pair_window(
                     keys_ref, t, oa, active > 0.0, m)
+                # running-min early-out (the reference's sorted
+                # nearest-first union scan, SdfForm.fs:22-34 +
+                # SdfBoundary.fs:266-268): stop the ascending axial scan
+                # once every remaining candidate provably cannot beat any
+                # lane's accumulated min.  Candidate k's distance to a lane
+                # at axial p is >= hi_key_k - p (sound even inside bounds:
+                # d_prim(x) >= |x-c| - r >= (a - r) - p_ax), so with
+                # H_cb = min_{k >= cb·U} hi_key_k (column P+2, host-side
+                # suffix-min) the scan can stop when
+                # max_lanes(acc + p_hi) <= H_cb — the group min is EXACTLY
+                # unchanged, like the reference's lower-bound skip.
+                p_hi = oa + t
+                stop_ref = jnp.max(jnp.where(active > 0.0, p_hi, -_BIG))
+                cb_hi = (w_hi + CAND_UNROLL - 1) // CAND_UNROLL
 
-                def body(cb, acc):
+                def wcond(carry):
+                    cb, acc, amax = carry
+                    return jnp.logical_and(
+                        cb < cb_hi,
+                        amax + stop_ref > cand_ref[cb * CAND_UNROLL, P + 2])
+
+                def wbody(carry):
+                    cb, acc, _amax = carry
                     c0 = cb * CAND_UNROLL
                     for k in range(CAND_UNROLL):
                         s = tuple(cand_ref[c0 + k, j] for j in range(P))
                         acc = jnp.minimum(acc, fn(s, px, py, pz))
-                    return acc
+                    amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
+                    return cb + 1, acc, amax
 
-                win = jax.lax.fori_loop(
-                    w_lo // CAND_UNROLL,
-                    (w_hi + CAND_UNROLL - 1) // CAND_UNROLL,
-                    body, jnp.full(shp, _BIG))
+                _cb, win, _am = jax.lax.while_loop(
+                    wcond, wbody,
+                    (w_lo // CAND_UNROLL, jnp.full(shp, _BIG),
+                     jnp.float32(_BIG)))
                 width = jnp.maximum(w_hi - w_lo, 0).astype(jnp.float32)
                 return jnp.minimum(win, cap), width
 
-            def full_pass(_, ki=ki, row_lo=row_lo, row_hi=row_hi,
-                          kind=kind):
-                soa = _soa_fn(kind)
-                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
-                acc = jnp.full(shp, _BIG)
-                for r0 in range(row_lo, row_hi, prim_chunk):
-                    rc = min(prim_chunk, row_hi - r0)
-                    rows_p = param_refs[ki][r0:r0 + rc, :]
-                    d = soa(rows_p, px3, py3, pz3)
-                    acc = jnp.minimum(acc, jnp.min(d, axis=-1))
-                return acc, jnp.float32(row_hi - row_lo)
-
-            count = pair_refs[pi][1][0, 2, 0]
-            gval, width = jax.lax.cond(count <= float(m),
-                                       culled_pass, full_pass, 0)
+            # overflow (count > m) is handled host-side by a lax.cond dense
+            # fallback around the whole kernel — emitting a full-sweep body
+            # here per pair per pass was the round-2 compile-time explosion
+            gval, width = culled_pass(0)
             wwidth.append(width)
             fold_value(accs, gid, gval)
 
@@ -769,42 +829,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 return jax.lax.fori_loop(
                     0, (n_c + CAND_UNROLL - 1) // CAND_UNROLL, body, init)
 
-            def full_sp(_, ki=ki, row_lo=row_lo, row_hi=row_hi, kind=kind):
-                soa = _soa_fn(kind)
-                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
-                gslot0 = offsets[kind]
-                bd = jnp.full(shp, _BIG)
-                bs = jnp.zeros(shp)
-                md_, ms_ = md, ms
-                for r0 in range(row_lo, row_hi, prim_chunk):
-                    rc = min(prim_chunk, row_hi - r0)
-                    params = param_refs[ki][r0:r0 + rc, :]
-                    d3 = soa(params, px3, py3, pz3)
-                    dmin = jnp.min(d3, axis=-1)
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 1, rc), 2)
-                    first = jnp.min(jnp.where(d3 <= dmin[..., None],
-                                              lane, rc), axis=-1)
-                    slotc = (first + (gslot0 + r0 + 1)).astype(jnp.float32)
-                    better = (dmin < bd) & hitm
-                    bd = jnp.where(better, dmin, bd)
-                    bs = jnp.where(better, slotc, bs)
-                    mats = mat_ref[gslot0 + r0:gslot0 + r0 + rc] \
-                        .reshape(1, 1, rc)
-                    dmm = jnp.where(mats >= 0.0, d3, _BIG)
-                    mmin = jnp.min(dmm, axis=-1)
-                    mfirst = jnp.min(jnp.where(dmm <= mmin[..., None],
-                                               lane, rc), axis=-1)
-                    onehot = lane == mfirst[..., None]
-                    mval = jnp.sum(jnp.where(onehot, mats, 0.0), axis=-1)
-                    mb = (mmin < md_) & (mval >= 0.0)
-                    md_ = jnp.where(mb, mmin, md_)
-                    ms_ = jnp.where(mb, mval, ms_)
-                return bd, bs, md_, ms_
-
-            count = pair_refs[pi][1][0, 2, 0]
-            bd, bs, md, ms = jax.lax.cond(
-                count <= float(m), culled_sp, full_sp, 0)
+            # overflow handled host-side (see _build_kernel docstring)
+            bd, bs, md, ms = culled_sp(0)
             g = groups[gid]
             if g.op == "min":
                 better = bd < vs[gid][0]
@@ -1016,54 +1042,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                     mbody, (md, ms))
                 return bd, bgx, bgy, bgz, md_, ms_
 
-            def full_sp(_, ki=ki, row_lo=row_lo, row_hi=row_hi, kind=kind):
-                soa = _soa_fn(kind)
-                px3, py3, pz3 = px[..., None], py[..., None], pz[..., None]
-                gslot0 = offsets[kind]
-                bd = jnp.full(shp, _BIG)
-                bgx = jnp.zeros(shp)
-                bgy = jnp.zeros(shp)
-                bgz = jnp.ones(shp)
-                md_, ms_ = md, ms
-                for r0 in range(row_lo, row_hi, prim_chunk):
-                    rc = min(prim_chunk, row_hi - r0)
-                    params = param_refs[ki][r0:r0 + rc, :]
-                    dm, vjp = jax.vjp(
-                        lambda ax, ay, az, params=params, soa=soa:
-                        jnp.min(soa(params, ax[..., None], ay[..., None],
-                                    az[..., None]), axis=-1),
-                        px, py, pz)
-                    gx, gy, gz = vjp(ones)
-                    better = dm < bd
-                    bd = jnp.where(better, dm, bd)
-                    bgx = jnp.where(better, gx, bgx)
-                    bgy = jnp.where(better, gy, bgy)
-                    bgz = jnp.where(better, gz, bgz)
-                    # material: first-argmin one-hot over the chunk
-                    any_mat = any(mat_vis[gslot0 + rr] >= 0
-                                  for rr in range(r0, r0 + rc))
-                    if any_mat:
-                        mats = mat_ref[gslot0 + r0:gslot0 + r0 + rc] \
-                            .reshape(1, 1, rc)
-                        d3 = soa(params, px3, py3, pz3)
-                        dmm = jnp.where(mats >= 0.0, d3, _BIG)
-                        mmin = jnp.min(dmm, axis=-1)
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 1, rc), 2)
-                        first = jnp.min(
-                            jnp.where(dmm <= mmin[..., None], lane,
-                                      rc), axis=-1)
-                        onehot = lane == first[..., None]
-                        mval = jnp.sum(jnp.where(onehot, mats, 0.0),
-                                       axis=-1)
-                        mb = (mmin < md_) & (mval >= 0.0)
-                        md_ = jnp.where(mb, mmin, md_)
-                        ms_ = jnp.where(mb, mval, ms_)
-                return bd, bgx, bgy, bgz, md_, ms_
-
-            count = pair_refs[pi][1][0, 2, 0]
-            bd, bgx, bgy, bgz, md, ms = jax.lax.cond(
-                count <= float(m), culled_sp, full_sp, 0)
+            # overflow handled host-side (see _build_kernel docstring)
+            bd, bgx, bgy, bgz, md, ms = culled_sp(0)
             fold_vg(gid, bd, bgx, bgy, bgz)
 
         if dense_mode == "scalar":
@@ -1172,10 +1152,64 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         _v, gx, gy, gz = ev_g(tree)
         return gx, gy, gz, ms
 
-    # ---- the kernel ------------------------------------------------------
+    # ---- the kernels -----------------------------------------------------
 
     has_oa = n_pairs > 0
-    n_ray = 9 + int(has_sign) + int(has_oa)
+    n_ray = 9 + int(has_sign and mode == "march") + int(has_oa)
+
+    def _unpack(refs):
+        """Common tail unpack: params/gid/mat/pair tables + outputs."""
+        param_refs = refs[n_ray:n_ray + n_kinds]
+        gid_ref = refs[n_ray + n_kinds]
+        mat_ref = refs[n_ray + 1 + n_kinds]
+        pair_flat = refs[n_ray + 2 + n_kinds:
+                         n_ray + 2 + n_kinds + 2 * n_pairs]
+        pair_refs = [(pair_flat[2 * i], pair_flat[2 * i + 1])
+                     for i in range(n_pairs)]
+        outs = refs[n_ray + 2 + n_kinds + 2 * n_pairs:]
+        dense_consts = []
+        if dense_mode == "scalar":
+            for (kind, ki, row, gid, mat, slot) in dense_slots:
+                P = PARAM_WIDTH[kind]
+                s = tuple(param_refs[ki][row, j] for j in range(P))
+                dense_consts.append((kind, s, gid, mat, slot))
+        return param_refs, gid_ref, mat_ref, pair_refs, dense_consts, outs
+
+    def surf_kernel(*refs):
+        """One-shot surface pass at given (t, hit) points."""
+        (ox, oy, oz, dxr, dyr, dzr, tt, ep, hitref) = refs[:9]
+        oa = refs[9][:, :] if has_oa else None
+        (param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
+         outs) = _unpack(refs)
+        t = tt[:, :]
+        eps = ep[:, :]
+        hitm = hitref[:, :] > 0
+        ts = t - eps                      # backed-off (SdfObject.fs:73)
+        px = ox[:, :] + ts * dxr[:, :]
+        py = oy[:, :] + ts * dyr[:, :]
+        pz = oz[:, :] + ts * dzr[:, :]
+        if slot_mode:
+            win_out, mat_out = outs
+            code, ms = surface_eval_slot(
+                param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
+                px, py, pz, t, oa, hitm)
+            win_out[:, :] = jnp.where(hitm, code, 0.0).astype(jnp.int32)
+            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+        else:
+            nx_out, ny_out, nz_out, mat_out = outs
+            gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
+                                          pair_refs, dense_consts,
+                                          px, py, pz, t, oa, hitm)
+            inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
+            nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
+            ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
+            nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
+            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+
+    if mode == "surface":
+        return surf_kernel, n_kinds, slot_gid, dense_mode, slot_mode
+
+    occl = mode == "occlusion"
 
     def kernel(*refs):
         (ox, oy, oz, dxr, dyr, dzr, ln, ep, tinit) = refs[:9]
@@ -1185,29 +1219,21 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             sgn = refs[k][:, :]
             k += 1
         oa = refs[k][:, :] if has_oa else None
-        param_refs = refs[n_ray:n_ray + n_kinds]
-        gid_ref = refs[n_ray + n_kinds]
-        mat_ref = refs[n_ray + 1 + n_kinds]
-        pair_flat = refs[n_ray + 2 + n_kinds:
-                         n_ray + 2 + n_kinds + 2 * n_pairs]
-        pair_refs = [(pair_flat[2 * i], pair_flat[2 * i + 1])
-                     for i in range(n_pairs)]
-        outs = refs[n_ray + 2 + n_kinds + 2 * n_pairs:]
-        t_out, hit_out, d_out, steps_out = outs[:4]
+        (param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
+         outs) = _unpack(refs)
+        if occl:
+            # any-hit occlusion (shadow rays, SdfLight.fs:10-21): identical
+            # stepping/termination → identical hit set, but no t/d outputs
+            # and no last-distance bookkeeping in the loop
+            hit_out, steps_out = outs[:2]
+        else:
+            t_out, hit_out, d_out, steps_out = outs[:4]
 
         origin = (ox[:, :], oy[:, :], oz[:, :])       # (8, 128) each
         direc = (dxr[:, :], dyr[:, :], dzr[:, :])
         length = ln[:, :]
         eps = ep[:, :]
         t0 = tinit[:, :]
-
-        # hoist loop-invariant dense scalar parameters out of the march
-        dense_consts = []
-        if dense_mode == "scalar":
-            for (kind, ki, row, gid, mat, slot) in dense_slots:
-                P = PARAM_WIDTH[kind]
-                s = tuple(param_refs[ki][row, j] for j in range(P))
-                dense_consts.append((kind, s, gid, mat, slot))
 
         def dist_at(t, active):
             px = origin[0] + t * direc[0]
@@ -1232,8 +1258,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
         def body(state):
             if relaxed:
-                t, active, hit, d_out_prev, d_start, step_taken, wsum, i \
-                    = state
+                (t, active, hit, d_out_prev, d_start, step_taken, wsum,
+                 i) = state
             else:
                 t, active, hit, d_out_prev, wsum, i = state
             d, w = dist_at(t, active)
@@ -1259,8 +1285,11 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 not_exhausted = jnp.where(t_new < length, 1.0, 0.0)
                 active = active * jnp.maximum(
                     over, (1.0 - is_hit) * not_exhausted)
-                keep = jnp.maximum(active * ok, is_hit)
-                d_out_ = keep * d + (1.0 - keep) * d_out_prev
+                if occl:
+                    d_out_ = d_out_prev
+                else:
+                    keep = jnp.maximum(active * ok, is_hit)
+                    d_out_ = keep * d + (1.0 - keep) * d_out_prev
                 d_start_n = over * d_start + ok * d
                 step_taken_n = over * d_start + ok * adv
                 return (t_new, active, hit, d_out_, d_start_n,
@@ -1271,60 +1300,37 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             t_new = t + step
             not_exhausted = jnp.where(t_new < length, 1.0, 0.0)
             active = active * (1.0 - is_hit) * not_exhausted
-            keep = jnp.maximum(active, is_hit)
-            d_out_ = keep * d + (1.0 - keep) * d_out_prev
+            if occl:
+                d_out_ = d_out_prev
+            else:
+                keep = jnp.maximum(active, is_hit)
+                d_out_ = keep * d + (1.0 - keep) * d_out_prev
             return t_new, active, hit, d_out_, wsum, i + 1
 
         active0 = jnp.where((length > 0.0) & (t0 < length), 1.0, 0.0)
+        d_init = jnp.float32(0.0) if occl else jnp.full(length.shape, _BIG)
         if relaxed:
-            init = (t0, active0, jnp.zeros_like(active0),
-                    jnp.full(length.shape, _BIG),
+            init = (t0, active0, jnp.zeros_like(active0), d_init,
                     jnp.full(length.shape, _BIG),   # d_start (no overstep)
                     jnp.zeros_like(length),          # step_taken
                     jnp.float32(0.0), jnp.int32(0))
             t, _active, hit, d, _ds, _st, wsum, i = jax.lax.while_loop(
                 cond, body, init)
         else:
-            init = (t0, active0, jnp.zeros_like(active0),
-                    jnp.full(length.shape, _BIG),
+            init = (t0, active0, jnp.zeros_like(active0), d_init,
                     jnp.float32(0.0), jnp.int32(0))
             t, _active, hit, d, wsum, i = jax.lax.while_loop(
                 cond, body, init)
 
-        t_out[:, :] = t
         hit_out[:, :] = (hit > 0.0).astype(jnp.int32)
-        d_out[:, :] = d
+        if not occl:
+            t_out[:, :] = t
+            d_out[:, :] = d
         if DEBUG_WINDOW_STATS:
             steps_out[:, :] = jnp.full(length.shape, wsum, jnp.float32) \
                 .astype(jnp.int32)
         else:
             steps_out[:, :] = jnp.full(length.shape, i, jnp.int32)
-
-        if want_surface:
-            hitm = hit > 0.0
-            ts = t - eps                      # backed-off (SdfObject.fs:73)
-            px = origin[0] + ts * direc[0]
-            py = origin[1] + ts * direc[1]
-            pz = origin[2] + ts * direc[2]
-            if slot_mode:
-                win_out, mat_out = outs[4:]
-                code, ms = surface_eval_slot(
-                    param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-                    px, py, pz, t, oa, hitm)
-                win_out[:, :] = jnp.where(hitm, code, 0.0) \
-                    .astype(jnp.int32)
-                mat_out[:, :] = jnp.where(hitm, ms, -1.0) \
-                    .astype(jnp.int32)
-            else:
-                nx_out, ny_out, nz_out, mat_out = outs[4:]
-                gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
-                                              pair_refs, dense_consts,
-                                              px, py, pz, t, oa, hitm)
-                inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
-                nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
-                ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
-                nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
-                mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
 
     return kernel, n_kinds, slot_gid, dense_mode, slot_mode
 
@@ -1336,10 +1342,68 @@ def slot_surface_mode(plan: Plan) -> bool:
     return not any(g.op == "sumexp" for g in groups)
 
 
+def _dense_fallback(scene: FlatScene, rays: Rays, cfg: MarchConfig,
+                    sign: Array | None, want_surface: bool,
+                    slot_mode: bool):
+    """Candidate-overflow escape hatch: the dense jnp march (+ dense
+    surface info) over the whole flat batch, tiled so the per-step
+    [tile, K] distance matrix stays bounded.  Lives in the rarely-taken
+    branch of a ``lax.cond`` — XLA compiles it in seconds (it is ordinary
+    jnp), and it never executes when ``cull_m`` is sized correctly.
+    Output structure mirrors the kernel path's ``fast`` tuple."""
+    from ..march import _march_raw
+    from .. import sdf as _sdf
+
+    n = rays.origin.shape[0]
+    ch = 16384
+    pad = (-n) % ch
+    if pad:
+        def pad_leaf(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        rays_p = jax.tree.map(pad_leaf, rays)
+        rays_p = rays_p.replace(length=rays_p.length.at[n:].set(0.0))
+        sign_p = None if sign is None else jnp.pad(sign, (0, pad),
+                                                   constant_values=1.0)
+    else:
+        rays_p, sign_p = rays, sign
+    npd = n + pad
+    chunked = jax.tree.map(lambda x: x.reshape((npd // ch, ch)
+                                               + x.shape[1:]), rays_p)
+    sign_c = None if sign_p is None else sign_p.reshape(npd // ch, ch)
+
+    def per_chunk(args):
+        r, sg = args
+        res = _march_raw(scene, r, cfg, sg)
+        out = (res.t, res.hit, res.distance,
+               jnp.broadcast_to(res.steps, res.t.shape).astype(jnp.int32))
+        if want_surface:
+            pos = r.at(res.t - r.epsilon)
+            midx, _alb = _sdf.material_at(scene, pos)
+            midx = jnp.where(res.hit, midx, -1).astype(jnp.int32)
+            if slot_mode:
+                code = _sdf.winning_leaf_code(scene, pos)
+                code = jnp.where(res.hit, code, 0.0).astype(jnp.int32)
+                out = out + (code, midx)
+            else:
+                nrm = _sdf.scene_normal(scene, pos)
+                out = out + (nrm[..., 0], nrm[..., 1], nrm[..., 2], midx)
+        return out
+
+    if sign_c is not None:
+        outs = jax.lax.map(per_chunk, (chunked, sign_c))
+    else:
+        outs = jax.lax.map(lambda r: per_chunk((r, None)), chunked)
+    return tuple(o.reshape(npd)[:n] for o in outs)
+
+
 def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                      interpret: bool = False, want_surface: bool = False,
-                     sign: Array | None = None):
+                     sign: Array | None = None, occlusion: bool = False):
     """March ``rays`` (flat batch [N]) with the fused Pallas kernel.
+
+    ``occlusion=True`` runs the any-hit variant (identical hit set, no
+    t/d outputs — shadow rays, SdfLight.fs:10-21) and returns only the
+    hit mask ``[N] bool``.
 
     Handles the root-bound skip host-side (rays start at the per-lane entry
     parameter ``t0``; the kernel marches the *absolute* ray parameter so
@@ -1393,7 +1457,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     mat_vis = visible_materials(scene.plan, scene.prim_material)
     kernel, n_kinds, slot_gid, _dm, slot_mode = _build_kernel(
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
-        pairs, cull_m, cfg.relax_omega, want_surface, mat_vis,
+        pairs, cull_m, cfg.relax_omega,
+        "occlusion" if occlusion else "march", mat_vis,
         has_sign=sign is not None)
     sign_in = [pad1(sign, 1.0)] if sign is not None else []
 
@@ -1401,6 +1466,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     cull_inputs = []
     cull_specs = []
     oa_in = []
+    overflow = None
     if pairs:
         from .. import sdf as _sdf
         offsets = scene.kind_offsets
@@ -1429,16 +1495,28 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 scene.prim_params[kind][row_lo:row_hi])
             kb = _sdf._prim_bound_rows(kind, kparams)
             sel = _cone_candidates(kb, cones, m)
+            if m < row_hi - row_lo:
+                # overflow possible → arm the host-side dense fallback;
+                # with m >= group size the count can never exceed m and
+                # the cond is not emitted at all
+                ovf = jnp.any(sel.count > m)
+                overflow = ovf if overflow is None else (overflow | ovf)
             prepped = _prep_rows(kind, kparams)
             mats_np = np.array(
                 [float(mat_vis[offsets[kind] + r])
                  for r in range(row_lo, row_hi)], np.float32)
             slots_np = np.arange(offsets[kind] + row_lo,
                                  offsets[kind] + row_hi, dtype=np.float32)
+            # column P+2: per-chunk suffix-min of hi_key — the kernel's
+            # running-min early-out bound (see culled_pass)
+            suf = jax.lax.cummin(sel.hi_key[:, ::-1], axis=1)[:, ::-1]
+            chunk_start = (np.arange(m) // CAND_UNROLL) * CAND_UNROLL
+            hrow = suf[:, chunk_start]                       # [G, m]
             table = jnp.concatenate(
                 [prepped[sel.idx],                           # [G, m, P]
                  jnp.asarray(mats_np)[sel.idx][..., None],   # [G, m, 1]
-                 jnp.asarray(slots_np)[sel.idx][..., None]],  # global slot
+                 jnp.asarray(slots_np)[sel.idx][..., None],  # global slot
+                 hrow[..., None]],
                 axis=-1)
             pw = table.shape[-1]
             misc = jnp.zeros((grid, m), jnp.float32)
@@ -1462,26 +1540,25 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
 
     rows = npad // RAY_LANE
     f32 = jnp.float32
-    out_shape = [
-        jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # t
-        jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # hit
-        jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # d
-        jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # steps
-    ]
-    out_specs = [ray_spec] * 4
-    if want_surface:
-        if slot_mode:
-            # winning-leaf code + material index
-            out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE),
-                                               jnp.int32)] * 2
-            out_specs += [ray_spec] * 2
-        else:
-            out_shape += [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
-                + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
-            out_specs += [ray_spec] * 4
+    if occlusion:
+        out_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)] * 2
+        out_specs = [ray_spec] * 2
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # t
+            jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # hit
+            jax.ShapeDtypeStruct((rows, RAY_LANE), f32),           # d
+            jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32),     # steps
+        ]
+        out_specs = [ray_spec] * 4
 
     params = [jax.lax.stop_gradient(scene.prim_params[k])
               for k, _ in scene.kind_counts]
+    gid_in = jnp.asarray(slot_gid)
+    mat_in = jnp.asarray(np.asarray(mat_vis, np.float32))
+    # scoped-VMEM headroom over Mosaic's 16 MB default (in-kernel AD
+    # residuals in the surface pass; big candidate tables); v5e has 128 MB
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     n_ray = 9 + len(sign_in) + len(oa_in)
     outs = pl.pallas_call(
@@ -1491,25 +1568,76 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-        # the fused surface pass's in-kernel AD residuals (and the chunked
-        # overflow fallback) need more scoped VMEM than Mosaic's 16 MB
-        # default; a v5e core has 128 MB
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=cparams,
     )(ox, oy, oz, dxx, dyy, dzz, ln, ep, t0p, *sign_in, *oa_in, *params,
-      jnp.asarray(slot_gid), jnp.asarray(np.asarray(mat_vis, np.float32)),
-      *cull_inputs)
+      gid_in, mat_in, *cull_inputs)
+
+    if occlusion:
+        hit = outs[0].reshape(npad)[:n].astype(bool) & ~miss0
+        if overflow is not None:
+            hit = jax.lax.cond(
+                overflow,
+                lambda _: _dense_fallback(scene, rays, cfg, sign,
+                                          False, slot_mode)[1],
+                lambda _: hit, None)
+        return hit
 
     t_k, hit_k, d_k, steps_k = [o.reshape(npad)[:n] for o in outs[:4]]
     hit = hit_k.astype(bool) & ~miss0
-    res = MarchResult(hit=hit, t=t_k, distance=d_k, steps=steps_k)
+    fast = (t_k, hit, d_k, steps_k)
+
+    if want_surface:
+        # one-shot surface pass in its own (small) Mosaic program — see
+        # _build_kernel docstring for why it is not fused into the march
+        surf_kernel, _, _, _, _ = _build_kernel(
+            scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
+            pairs, cull_m, cfg.relax_omega, "surface", mat_vis,
+            has_sign=False)
+        if slot_mode:
+            s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE),
+                                            jnp.int32)] * 2
+            s_specs = [ray_spec] * 2
+        else:
+            s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
+                + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
+            s_specs = [ray_spec] * 4
+        souts = pl.pallas_call(
+            surf_kernel,
+            grid=(grid,),
+            in_specs=[ray_spec] * (9 + len(oa_in)) + param_specs
+            + cull_specs,
+            out_specs=s_specs,
+            out_shape=s_shape,
+            interpret=interpret,
+            compiler_params=cparams,
+        )(ox, oy, oz, dxx, dyy, dzz, outs[0], ep, outs[1],
+          *oa_in, *params, gid_in, mat_in, *cull_inputs)
+        if slot_mode:
+            code = souts[0].reshape(npad)[:n]
+            midx = souts[1].reshape(npad)[:n]
+            fast = fast + (jnp.where(hit, code, 0),
+                           jnp.where(hit, midx, -1))
+        else:
+            nx, ny, nz = [o.reshape(npad)[:n] for o in souts[0:3]]
+            midx = souts[3].reshape(npad)[:n]
+            fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1))
+
+    if overflow is not None:
+        # a tile's conservative candidate count exceeded its table: the
+        # kernel's windows are unsound for that frame — recompute the whole
+        # batch with the dense jnp path (XLA-compiled; the branch costs
+        # nothing when not taken, and cull_m is sized so it never is)
+        fast = jax.lax.cond(
+            overflow,
+            lambda _: _dense_fallback(scene, rays, cfg, sign, want_surface,
+                                      slot_mode),
+            lambda _: fast, None)
+
+    res = MarchResult(hit=fast[1], t=fast[0], distance=fast[2],
+                      steps=fast[3])
     if not want_surface:
         return res
     if slot_mode:
-        code = outs[4].reshape(npad)[:n]
-        midx = outs[5].reshape(npad)[:n]
-        return res, jnp.where(hit, code, 0), jnp.where(hit, midx, -1)
-    nx, ny, nz = [o.reshape(npad)[:n] for o in outs[4:7]]
-    midx = outs[7].reshape(npad)[:n]
-    normal = jnp.stack([nx, ny, nz], axis=-1)
-    return res, normal, jnp.where(hit, midx, -1)
+        return res, fast[4], fast[5]
+    normal = jnp.stack([fast[4], fast[5], fast[6]], axis=-1)
+    return res, normal, fast[7]

@@ -267,6 +267,51 @@ def leaf_normal(scene: FlatScene, code: Array, p: Array) -> Array:
                      jnp.asarray([0.0, 0.0, 1.0], p.dtype))
 
 
+def winning_leaf_code(scene: FlatScene, p: Array) -> Array:
+    """Dense winning-leaf code at ``p``: ``sign·(global_slot + 1)`` of the
+    single primitive selected by the CSG min/max tree (the same contract as
+    the march kernel's fused slot-mode surface pass) — the host-side
+    fallback used when a tile's candidate list overflows.  Only valid for
+    plans without smooth unions (slot mode).  Ties break toward the lower
+    global slot (first argmin)."""
+    d = prim_distances(scene, p)
+    shape = p.shape[:-1]
+
+    def walk(plan) -> Tuple[Array, Array]:
+        if plan.op == "prim":
+            s = plan.prim_slots[0]
+            return d[..., s], jnp.full(shape, float(s + 1))
+        if plan.op == "subtract":
+            va, ca = walk(plan.children[0])
+            vb, cb = walk(plan.children[1])
+            sel = va > -vb
+            return jnp.maximum(va, -vb), jnp.where(sel, ca, -cb)
+        if plan.op in ("union", "intersect"):
+            vals = [walk(c) for c in plan.children]
+            if plan.prim_slots:
+                slots = np.asarray(plan.prim_slots, np.int32)
+                sub = d[..., slots]
+                if plan.op == "union":
+                    win = jnp.argmin(sub, axis=-1)
+                    red = jnp.min(sub, axis=-1)
+                else:
+                    win = jnp.argmax(sub, axis=-1)
+                    red = jnp.max(sub, axis=-1)
+                code = (jnp.asarray(slots)[win] + 1).astype(jnp.float32)
+                vals.append((red, code))
+            out = vals[0]
+            for v in vals[1:]:
+                sel = (out[0] <= v[0]) if plan.op == "union" \
+                    else (out[0] >= v[0])
+                out = (jnp.where(sel, out[0], v[0]),
+                       jnp.where(sel, out[1], v[1]))
+            return out
+        raise ValueError(f"winning_leaf_code: unsupported op {plan.op!r}")
+
+    _v, code = walk(scene.plan)
+    return code
+
+
 def material_at(scene: FlatScene, p: Array) -> Tuple[Array, Array]:
     """Winning material at ``p``: argmin of distance over *CSG-visible*
     material-bearing primitives (the reference's second spatial lookup,

@@ -23,14 +23,43 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.flatten import FlatScene
 from ..scene.nodes import LIGHT_DIRECTIONAL, LIGHT_POINT
 from ..types import Rays, SurfaceHit, dot, normalize
 from . import sdf
-from .march import MarchConfig, march, march_surface
+from .march import MarchConfig, march, march_occlusion, march_surface
 
 Array = jax.Array
+
+
+def resolve_material(scene: FlatScene, pos: Array, hit: Array,
+                     midx: Array) -> Array:
+    """Repair ``midx == -1`` on *hit* lanes from the fused surface pass.
+
+    The kernel's material argmin only sees the tile's cone-selected
+    candidate list; a hit on a material-less surface (e.g. a CSG cutter)
+    whose nearest material-bearing primitive lies outside that list
+    reports -1 (advisor round 2, medium).  The reference's contract is a
+    *global* argmin over visible material primitives (SdfObject.fs:26-46),
+    so those lanes fall back to the dense sweep — inside a ``lax.cond``
+    that costs nothing when no lane needs it (the overwhelmingly common
+    case: material owners are almost always within the hit's own tile)."""
+    bad = hit & (midx < 0)
+
+    def dense(_):
+        flat = pos.reshape(-1, 3)
+        n = flat.shape[0]
+        ch = min(16384, n)
+        pad = (-n) % ch
+        fp = jnp.pad(flat, ((0, pad), (0, 0)))
+        m = jax.lax.map(lambda p: sdf.material_at(scene, p)[0],
+                        fp.reshape(-1, ch, 3))
+        m = m.reshape(-1)[:n].reshape(midx.shape)
+        return jnp.where(bad, m, midx)
+
+    return jax.lax.cond(jnp.any(bad), dense, lambda _: midx, None)
 
 
 def surface_hit(scene: FlatScene, rays: Rays,
@@ -43,6 +72,7 @@ def surface_hit(scene: FlatScene, rays: Rays,
         # fast path: normals + material argmin fused into the march kernel
         res, normal, midx = march_surface(scene, rays, cfg)
         pos = rays.at(res.t - rays.epsilon)
+        midx = resolve_material(scene, pos, res.hit, midx)
         albedo = sdf.albedo_of(scene, jnp.maximum(midx, 0), pos)
         return SurfaceHit(hit=res.hit, position=pos, normal=normal,
                           color=albedo, material=midx, t=res.t)
@@ -101,7 +131,16 @@ def shade(scene: FlatScene, rays: Rays, hit: SurfaceHit,
     re-tiling shadow rays by hit-point Morton locality costs more in
     sorts/gathers and mixed tiles than it saves in cull width, +47 ms.)
     """
+    return shade_with_stats(scene, rays, hit, cfg)[0]
+
+
+def shade_with_stats(scene: FlatScene, rays: Rays, hit: SurfaceHit,
+                     cfg: MarchConfig = MarchConfig()):
+    """``shade`` + the number of shadow rays actually marched (facing
+    lanes per light — the reference's ≤3-traces-per-pixel accounting,
+    SURVEY.md §3.1).  Returns ``(color [..., 3], n_shadow scalar f32)``."""
     light_acc = jnp.broadcast_to(scene.background, hit.position.shape)
+    n_shadow = jnp.float32(0.0)
 
     for i in range(scene.num_lights):
         ldir, budget, scale = light_dir_and_dist(scene, i, hit.position)
@@ -114,7 +153,8 @@ def shade(scene: FlatScene, rays: Rays, hit: SurfaceHit,
             length=jnp.where(facing, budget, 0.0),
             epsilon=rays.epsilon,
         )
-        occluded = march(scene, shadow_rays, cfg).hit
+        occluded = march_occlusion(scene, shadow_rays, cfg)
+        n_shadow = n_shadow + jnp.sum(facing.astype(jnp.float32))
         contrib = (scene.light_color[i] * scale[..., None]
                    * cos[..., None])
         light_acc = light_acc + jnp.where(
@@ -126,7 +166,7 @@ def shade(scene: FlatScene, rays: Rays, hit: SurfaceHit,
                          scene.mat_emission[jnp.maximum(hit.material, 0)],
                          0.0)
     shaded = lit + emission
-    return jnp.where(hit.hit[..., None], shaded, scene.background)
+    return jnp.where(hit.hit[..., None], shaded, scene.background), n_shadow
 
 
 def trace(scene: FlatScene, rays: Rays,
@@ -135,3 +175,15 @@ def trace(scene: FlatScene, rays: Rays,
     equivalent of ``SdfScene.trace scene ray`` (SdfScene.fs:7-28)."""
     hit = surface_hit(scene, rays, cfg)
     return shade(scene, rays, hit, cfg)
+
+
+def trace_with_stats(scene: FlatScene, rays: Rays,
+                     cfg: MarchConfig = MarchConfig()):
+    """``trace`` + the total rays marched (primary + shadow), so the
+    benchmark's ray count comes out of the *same* compiled pipeline it
+    times instead of a second full compilation (round-2 timeout cause).
+    Returns ``(color [..., 3], n_rays scalar f32)``."""
+    hit = surface_hit(scene, rays, cfg)
+    color, n_shadow = shade_with_stats(scene, rays, hit, cfg)
+    n_primary = jnp.float32(np.prod(hit.hit.shape))
+    return color, n_primary + n_shadow

@@ -33,7 +33,7 @@ from ..scene.flatten import FlatScene
 from ..scene.nodes import MAT_DIELECTRIC, MAT_MIRROR, MAT_SOLID
 from ..types import Rays, dot, normalize
 from . import sdf, spectral
-from .march import MarchConfig, march, march_surface
+from .march import MarchConfig, march, march_occlusion, march_surface
 from .shade import light_dir_and_dist
 
 Array = jax.Array
@@ -66,6 +66,9 @@ class WavefrontConfig:
     length: float = 30.0
     march: MarchConfig = MarchConfig()
     min_throughput: float = 1e-3    # kill paths below this weight
+    # children below this weight are first to drop on queue overflow (they
+    # still render when capacity allows); see _bounce compaction
+    overflow_drop_threshold: float = 0.05
 
 
 def _shade_local(scene: FlatScene, pos: Array, normal: Array,
@@ -79,7 +82,7 @@ def _shade_local(scene: FlatScene, pos: Array, normal: Array,
         facing = cos > 0.0
         shadow = Rays(origin=pos, direction=ldir,
                       length=jnp.where(facing, budget, 0.0), epsilon=eps)
-        occluded = march(scene, shadow, cfg.march).hit
+        occluded = march_occlusion(scene, shadow, cfg.march)
         contrib = scene.light_color[i] * scale[..., None] * cos[..., None]
         light_acc = light_acc + jnp.where((facing & ~occluded)[..., None],
                                           contrib, 0.0)
@@ -97,15 +100,22 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     # rays inside a dielectric march the *negated* SDF toward the exit
     # surface (transmission); outside rays march normally
     sign = jnp.where(q.inside, -1.0, 1.0)
+    # bounce rays diverge off curved geometry → near-omnidirectional tiles
+    # whose conservative candidate count can reach the group size: use the
+    # shadow-sized table so the dense-fallback cond never fires mid-frame
+    mcfg = dataclasses.replace(
+        cfg.march, cull_m=max(cfg.march.cull_m, cfg.march.cull_m_shadow))
     # fused march+surface: normals and the material argmin come out of the
     # march kernel itself (culled), not a dense [N, K] second pass
-    res, nrm, midx = march_surface(scene, rays, cfg.march, sign=sign)
+    res, nrm, midx = march_surface(scene, rays, mcfg, sign=sign)
     hit = res.hit & q.active
     missed = q.active & ~res.hit
 
     # Surface frame at hits (backed off by epsilon, SdfObject.fs:73)
     pos = rays.at(res.t - eps)
-    midx = jnp.maximum(midx, 0)
+    # repair culled-argmin material misses on cutter surfaces (shade.py)
+    from .shade import resolve_material
+    midx = jnp.maximum(resolve_material(scene, pos, hit, midx), 0)
     albedo = sdf.albedo_of(scene, midx, pos)
     mat_kind = jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
 
@@ -180,15 +190,22 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     child_b = mk(b_origin, refr_dir, refr_T, child_b_active, ~q.inside)
 
     # ---- compaction: 2C → C (sort-based, static shapes) --------------------
-    # Stable partition (actives first, original order preserved): children
-    # inherit the parents' pixel order, so the compacted queue stays
-    # spatially coherent and the march kernel's per-tile cone culling keeps
-    # working across bounces.  On overflow (> C active children, i.e. a
-    # fully specular frame) the tail of the refraction block is dropped;
-    # reflection children and image order are preserved.
+    # Stable three-class partition: (0) active children with meaningful
+    # throughput, in original order — children inherit the parents' pixel
+    # order, so the compacted queue stays spatially coherent and the march
+    # kernel's per-tile cone culling keeps working across bounces; (1)
+    # active but below ``overflow_drop_threshold`` throughput; (2) dead.
+    # On overflow (> C active children, i.e. a fully specular frame) the
+    # tail dropped is therefore the *lowest-energy* block, not whichever
+    # refraction children happened to sort last (advisor round 2: the pure
+    # actives-first partition biased rendered energy by discarding
+    # possibly-high-energy refractions while keeping negligible
+    # reflections).
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                         child_a, child_b)
-    order = jnp.argsort(~both.active, stable=True)
+    low = both.active & (both.throughput < cfg.overflow_drop_threshold)
+    klass = (~both.active).astype(jnp.int32) * 2 + low.astype(jnp.int32)
+    order = jnp.argsort(klass, stable=True)
     keep = order[:C]
     new_q = jax.tree.map(lambda x: x[keep], both)
     return new_q, image

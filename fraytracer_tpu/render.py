@@ -130,6 +130,49 @@ def render(scene: FlatScene, camera: cam.Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def render_with_stats(scene: FlatScene, camera: cam.Camera,
+                      cfg: RenderConfig = RenderConfig()):
+    """``render`` + the number of rays actually marched (primary + shadow
+    per facing hit) from the same compiled pipeline — the benchmark uses
+    this so the count does not require a second full compilation.
+    Returns ``(image [H, W, 3], n_rays scalar f32)``."""
+    rays = cam.camera_rays(camera, cfg.width, cfg.height,
+                           cfg.epsilon, cfg.length)
+    flat_rays = jax.tree.map(
+        lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]), rays)
+    pallas = cfg.march.backend.startswith("pallas")
+    blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
+    if blocked:
+        perm, inv = _block_perm(cfg.height, cfg.width)
+        flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
+
+    tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays
+    n = flat_rays.origin.shape[0]
+    if tile <= 0 or n <= tile:
+        colors, n_rays = shade.trace_with_stats(scene, flat_rays, cfg.march)
+    else:
+        pad = (-n) % tile
+        if pad:
+            def pad_leaf(x):
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, widths)
+            flat_rays = jax.tree.map(pad_leaf, flat_rays)
+            flat_rays = flat_rays.replace(
+                length=flat_rays.length.at[n:].set(0.0))
+        chunked = jax.tree.map(
+            lambda x: x.reshape((-1, tile) + x.shape[1:]), flat_rays)
+        traced = jax.checkpoint(
+            lambda s, r: shade.trace_with_stats(s, r, cfg.march))
+        colors, counts = jax.lax.map(lambda r: traced(scene, r), chunked)
+        colors = colors.reshape((-1, 3))[:n]
+        # padded lanes each contribute exactly 1 to the primary count
+        n_rays = jnp.sum(counts) - jnp.float32(pad)
+    if blocked:
+        colors = colors[inv]
+    return colors.reshape(cfg.height, cfg.width, 3), n_rays
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def render_image(scene: FlatScene, camera: cam.Camera, key: Array,
                  cfg: RenderConfig = RenderConfig()) -> Array:
     """Render + tone map → dithered uint8 [H, W, 3] (Image.fs:37-50)."""

@@ -268,6 +268,65 @@ def test_axial_window_keys_sound(rng):
                     (g, int(prim), "ahead-skip would drop a near prim")
 
 
+def test_cull_candidates_conservative_divergent(rng):
+    """Soundness for tiles whose directions span >90° (cos_min < 0):
+    backward-pointing lanes march their axial coordinate *down*, so the
+    entry-side bound must use max_len·cos_lo, not t_min·cos_lo (advisor
+    round 2, high).  Rays fan out from points near the origin in random
+    directions — the wavefront-bounce / point-light-shadow shape."""
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops import sdf as S
+    from fraytracer_tpu.ops.pallas.march_kernel import (RAY_TILE,
+                                                        _cone_candidates,
+                                                        _tile_cones)
+    scene = ft.flatten(torus_csg_scene(seed=5, n_tori=64))
+    n = RAY_TILE
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    length = np.full((n,), 12.0, np.float32)
+    eps = np.full((n,), 0.01, np.float32)
+    cones = _tile_cones(jnp.asarray(o), jnp.asarray(d),
+                        jnp.zeros((n,), jnp.float32), jnp.asarray(length),
+                        jnp.asarray(eps), 1)
+    assert float(cones.cos_lo[0]) < 0.0  # the tile really is divergent
+    bounds = S._prim_bound_rows("torus", scene.prim_params["torus"])
+    sel = _cone_candidates(bounds, cones, 64)
+    cand = set(np.asarray(sel.idx[0][:int(sel.count[0])]))
+
+    b = np.asarray(bounds)
+    ts = np.linspace(0.0, 12.0, 60)
+    ridx = rng.choice(n, size=48, replace=False)
+    pts = (o[ridx, None, :] + ts[None, :, None] * d[ridx, None, :]) \
+        .reshape(-1, 3)
+    dist = np.linalg.norm(pts[:, None, :] - b[None, :, 0:3], axis=-1) \
+        - b[None, :, 3]
+    for prim in np.where(dist.min(axis=0) < 2 * 0.01)[0]:
+        assert prim in cand, int(prim)
+
+
+def test_occlusion_march_equivalent():
+    """The any-hit occlusion kernel finds exactly the full march's hit set
+    (same stepping and termination; it only drops the t/d outputs) — for
+    both the plain and the omega-relaxed stepping, with and without cull."""
+    from fraytracer_tpu.ops.march import march_occlusion
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=96))
+    rays = flat_camera_rays(48, 48)
+    for kw in (dict(), dict(relax_omega=1.4),
+               dict(cull=True, cull_threshold=64, cull_m=128),
+               dict(relax_omega=1.4, cull=True, cull_threshold=64,
+                    cull_m=128)):
+        cfg = MarchConfig(backend="pallas_interpret", max_steps=192, **kw)
+        full = march(scene, rays, cfg).hit
+        occ = march_occlusion(scene, rays, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(occ), kw)
+    # jnp backend path
+    cfg = MarchConfig(backend="jnp", max_steps=192)
+    np.testing.assert_array_equal(
+        np.asarray(march(scene, rays, cfg).hit),
+        np.asarray(march_occlusion(scene, rays, cfg)))
+
+
 def test_relaxed_march_equivalent():
     """Over-relaxed march (omega=1.4) with the safe fallback finds exactly
     the same hit set, with hit distances within the epsilon shell, in fewer

@@ -74,6 +74,45 @@ def test_culled_surface_hit_matches_dense_trace():
     np.testing.assert_allclose(img_c[exact], img_d[exact], atol=1e-5)
 
 
+def test_certificate_catches_degenerate_tile():
+    """Exactness certificate (point_eval docstring): a tile whose hit
+    points span the scene so widely that the true nearest primitive of an
+    outlier point is ranked out of the m-nearest-to-centroid candidate
+    set must (a) fail the certificate and (b) still produce the exact
+    dense result through the lax.cond fallback."""
+    # 12 spheres along x with distinct materials; big union group
+    prims = [ft.sphere((3.0 * i, 0, 0), 1.0,
+                       material=ft.solid(i / 12.0, 0.2, 0.2))
+             for i in range(12)]
+    scene = ft.flatten(ft.Scene(root=ft.union(*prims)))
+
+    # degenerate tile: most points near sphere 0, one outlier at sphere 11
+    n = 64
+    pos = np.tile(np.array([[0.0, 0.0, -1.2]], np.float32), (n, 1))
+    pos += np.linspace(0, 0.1, n)[:, None].astype(np.float32)
+    pos[-1] = [33.0, 0.0, -1.2]          # winner = sphere 11, far away
+    hit = np.ones((n,), bool)
+    built = point_eval.build_culled_eval(
+        scene, jnp.asarray(pos), jnp.asarray(hit), m=2, threshold=4)
+    assert built is not None
+    *_rest, ok = built
+    assert not bool(ok), "certificate must fail for the degenerate tile"
+
+    out = point_eval.culled_surface_eval(
+        scene, jnp.asarray(pos), jnp.asarray(hit), m=2, threshold=4)
+    n_c, m_c, _a = map(np.asarray, out)
+    n_d = np.asarray(sdf.scene_normal(scene, jnp.asarray(pos)))
+    m_d, _ = map(np.asarray, sdf.material_at(scene, jnp.asarray(pos)))
+    np.testing.assert_array_equal(m_c, m_d)   # incl. the outlier's mat 11
+    np.testing.assert_allclose(n_c, n_d, atol=1e-5)
+
+    # a well-behaved batch (same scene, points near one sphere) passes
+    pos2 = np.tile(np.array([[0.0, 0.0, -1.2]], np.float32), (n, 1))
+    built2 = point_eval.build_culled_eval(
+        scene, jnp.asarray(pos2), jnp.asarray(hit), m=4, threshold=4)
+    assert bool(built2[-1]), "coherent tile should pass the certificate"
+
+
 def test_culled_vjp_matches_dense_gradients():
     """Two gradient contracts: (a) the culled implicit-diff backward equals
     the dense backward up to the epsilon-shell hit drift between the two
