@@ -83,17 +83,27 @@ def cmd_spectral(args) -> int:
 
 
 def cmd_fit(args) -> int:
+    """Inverse rendering (BASELINE config 5): perturb every floating scene
+    parameter, descend the image L2 back to the target, exercising the
+    checkpoint save/resume round trip mid-run and writing a loss-curve +
+    parameter-recovery artifact (JSON)."""
+    import json
+    import time
+
     import jax
     import jax.numpy as jnp
 
     import fraytracer_tpu as ft
     from .ops.march import MarchConfig
+    from .utils.checkpoint import load_scene, save_scene
 
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     camera = ft.look_at(tuple(args.camera), tuple(args.target),
                         fov_degrees=args.fov)
     cfg = ft.RenderConfig(width=args.size, height=args.size,
                           epsilon=args.epsilon, length=args.length,
-                          march=MarchConfig(max_steps=args.max_steps))
+                          march=MarchConfig(max_steps=args.max_steps,
+                                            backend=backend))
 
     target_scene = ft.flatten(_scene_by_name(args.scene, args.seed,
                                              args.tori))
@@ -106,6 +116,12 @@ def cmd_fit(args) -> int:
         target_scene.prim_params)
     scene = target_scene.replace(prim_params=init)
 
+    def param_err(s):
+        return float(sum(
+            jnp.sum(jnp.abs(a - b)) for a, b in
+            zip(jax.tree.leaves(s.prim_params),
+                jax.tree.leaves(target_scene.prim_params))))
+
     @jax.jit
     def step(s):
         def loss(s):
@@ -116,10 +132,39 @@ def cmd_fit(args) -> int:
             if jnp.issubdtype(p.dtype, jnp.floating) else p, s, g)
         return new, l
 
+    err0 = param_err(scene)
+    losses = []
+    t0 = time.perf_counter()
     for i in range(args.steps):
         scene, l = step(scene)
+        losses.append(float(l))
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(l):.6f}", flush=True)
+        if args.checkpoint and i == args.steps // 2:
+            # checkpoint/resume round trip mid-run (utils/checkpoint)
+            save_scene(args.checkpoint, scene)
+            scene = load_scene(args.checkpoint)
+            print(f"checkpointed + resumed at step {i}", flush=True)
+    wall = time.perf_counter() - t0
+
+    err1 = param_err(scene)
+    n_params = sum(int(x.size) for x in jax.tree.leaves(scene.prim_params))
+    report = {
+        "backend": backend, "size": args.size, "scene": args.scene,
+        "tori": args.tori, "steps": args.steps, "lr": args.lr,
+        "perturb": args.perturb, "n_params": n_params,
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "param_l1_before": err0, "param_l1_after": err1,
+        "param_recovery": 1.0 - err1 / max(err0, 1e-12),
+        "wall_s": round(wall, 2), "losses": losses,
+    }
+    if args.out_report:
+        with open(args.out_report, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out_report}", flush=True)
+    print(f"fit: loss {losses[0]:.6f} -> {losses[-1]:.6f}, param L1 "
+          f"{err0:.4f} -> {err1:.4f} "
+          f"({report['param_recovery']*100:.1f}% recovered)", flush=True)
     return 0
 
 
@@ -170,6 +215,10 @@ def main(argv=None) -> int:
     sp.add_argument("--steps", type=int, default=50)
     sp.add_argument("--lr", type=float, default=0.5)
     sp.add_argument("--perturb", type=float, default=0.05)
+    sp.add_argument("--checkpoint", default="",
+                    help="npz path: save+resume mid-run (empty = skip)")
+    sp.add_argument("--out-report", default="",
+                    help="JSON loss-curve/recovery artifact path")
     sp.set_defaults(fn=cmd_fit)
 
     sp = sub.add_parser("bench", help="run the benchmark")

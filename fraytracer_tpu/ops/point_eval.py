@@ -299,8 +299,15 @@ def build_culled_eval(scene: FlatScene, pos: Array,
 
 def dense_dist_tiled(scene: FlatScene, q: Array) -> Array:
     """Dense scene distance at ``q [G, T, 3]``, one tile at a time (the
-    certified fallback — lax.map keeps the [T, K] temporary bounded)."""
-    return jax.lax.map(lambda t: sdf.scene_distance(scene, t), q)
+    certified fallback — lax.map keeps the [T, K] temporary bounded).
+
+    The per-tile body is rematerialized: without ``jax.checkpoint`` a
+    reverse-mode caller makes the scan stack every tile's [T, K, 3]
+    residuals — a [G, T, K, 3] buffer XLA must allocate at COMPILE time
+    even when the cond branch holding this fallback is never taken
+    (12 TB at the benchmark sizes)."""
+    ck = jax.checkpoint(lambda sc, t: sdf.scene_distance(sc, t))
+    return jax.lax.map(lambda t: ck(scene, t), q)
 
 
 def culled_surface_eval(scene: FlatScene, pos: Array,

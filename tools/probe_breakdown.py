@@ -114,17 +114,22 @@ def main():
               scene, flat, res.t, res.hit)
 
     if "shadow" in STAGES:
+        from fraytracer_tpu.ops.march import march_occlusion
         res = jax.jit(lambda s, r: march(s, r, mcfg))(scene, flat)
         pos = flat.at(res.t - flat.epsilon)
-        nrm = jnp.zeros_like(pos).at[:, 1].set(1.0)
 
-        def shadow(s, pos, hit):
-            ldir, budget, _ = shade.light_dir_and_dist(s, 0, pos)
+        def shadow(s, pos, hit, li):
+            ldir, budget, _ = shade.light_dir_and_dist(s, li, pos)
             sr = ft.types.Rays(origin=pos, direction=ldir,
                                length=jnp.where(hit, budget, 0.0),
                                epsilon=jnp.full(pos.shape[:-1], 0.01))
-            return march(s, sr, mcfg).hit
-        timed("shadow march (light0)", jax.jit(shadow), scene, pos, res.hit)
+            return march_occlusion(s, sr, mcfg)
+        timed("shadow occl (light0 dir)",
+              jax.jit(lambda s, p, h: shadow(s, p, h, 0)),
+              scene, pos, res.hit)
+        timed("shadow occl (light1 point)",
+              jax.jit(lambda s, p, h: shadow(s, p, h, 1)),
+              scene, pos, res.hit)
 
 
 if __name__ == "__main__":

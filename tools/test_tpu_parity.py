@@ -92,3 +92,14 @@ def test_mosaic_relaxed_march_contract(setup):
     both = hj & hp
     dt = np.abs(np.asarray(r_p.t) - np.asarray(r_j.t))[both]
     assert np.percentile(dt, 99) < 3 * 0.01
+
+
+def test_mosaic_occlusion_parity(setup):
+    """Any-hit occlusion kernel (shadow path) finds exactly the full
+    march's hit set on the compiled Mosaic path, at the bench omega."""
+    from fraytracer_tpu.ops.march import MarchConfig, march, march_occlusion
+    scene, flat = setup
+    cfg = MarchConfig(backend="pallas", max_steps=192, relax_omega=1.4)
+    full = jax.jit(lambda s, r: march(s, r, cfg).hit)(scene, flat)
+    occ = jax.jit(lambda s, r: march_occlusion(s, r, cfg))(scene, flat)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(occ))
