@@ -59,13 +59,18 @@ RAY_LANE = 128     # ray lanes
 RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance (8 × 128 vreg)
 PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
 DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
+import os as _os
+
 # candidates evaluated per window-loop iteration: unrolling lets Mosaic
 # pipeline the SMEM parameter loads and amortizes loop control, which
-# otherwise dominate the per-candidate cost (~10x the eval math)
-CAND_UNROLL = 8
+# otherwise dominate the per-candidate cost (~10x the eval math).
+# Env-overridable for perf experiments (tools/probe_*).
+CAND_UNROLL = int(_os.environ.get("FT_CAND_UNROLL", "8"))
+# disable the running-min early-out (A/B experiments)
+NO_EARLYOUT = bool(int(_os.environ.get("FT_NO_EARLYOUT", "0")))
 # dev switch (tools/probe_*): report the summed per-step window width in
 # the steps output instead of the iteration count
-DEBUG_WINDOW_STATS = False
+DEBUG_WINDOW_STATS = bool(int(_os.environ.get("FT_WINDOW_STATS", "0")))
 _BIG = 3.0e38
 
 
@@ -716,6 +721,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
                 def wcond(carry):
                     cb, acc, amax = carry
+                    if NO_EARLYOUT:
+                        return cb < cb_hi
                     return jnp.logical_and(
                         cb < cb_hi,
                         amax + stop_ref > cand_ref[cb * CAND_UNROLL, P + 2])

@@ -85,6 +85,22 @@ def _static_layout(scene: FlatScene, threshold: int):
     return pairs, groups, tree, slot_gid, offsets, dense
 
 
+def _soa_eval(kind: str, params: Array, q: Array) -> Array:
+    """Candidate distances without [..., 3]-minor intermediates.
+
+    ``params [..., m, P]``, ``q [..., T, 3]`` → ``[..., T, m]``.  The AoS
+    formulation materializes [..., T, m, 3] intermediates, which TPU
+    tiling pads 3 → 128 lanes — a 43× memory blowup that OOM'd the
+    benchmark's fwd+bwd at compile time.  Reuses the march kernel's
+    accessor-style distance math."""
+    from .pallas.march_kernel import _GEN_FNS
+    qx = q[..., 0][..., None]
+    qy = q[..., 1][..., None]
+    qz = q[..., 2][..., None]
+    return _GEN_FNS[kind](lambda j: params[..., j][..., None, :],
+                          qx, qy, qz)
+
+
 def _tile_centers(pos: Array, hit: Array | None):
     """Per-tile centroid of (hit) points; pos [G, T, 3], hit [G, T] bool."""
     if hit is None:
@@ -173,7 +189,7 @@ def build_culled_eval(scene: FlatScene, pos: Array,
             # point's centroid radius must clear the m-th bound
             q = pos_sel if hit_t is not None else pos_t
             params = rows_params[idx]
-            d = jax.vmap(sdf._DIST_FNS[kind])(params, q)   # [G, T, mcap]
+            d = _soa_eval(kind, params, q)                 # [G, T, mcap]
             need = jnp.min(d, axis=-1)
             if (mat_of_row >= 0).any():
                 cand_mats = jnp.asarray(mat_of_row)[idx]   # [G, mcap]
@@ -193,8 +209,9 @@ def build_culled_eval(scene: FlatScene, pos: Array,
         if keep.any():
             dense_mat.append((kind, rows[keep], mats[keep]))
 
-    def _group_values(sc: FlatScene, q: Array):
-        """q [G, T, 3] → per-group reduced values [G, T] each."""
+    def _group_values(sc: FlatScene, q: Array, idxs):
+        """q [G, T, 3] + per-pair candidate indices → per-group reduced
+        values [G, T] each."""
         shp = q.shape[:-1]
         accs = []
         for g in groups:
@@ -216,18 +233,17 @@ def build_culled_eval(scene: FlatScene, pos: Array,
 
         # dense part: evaluate per kind, split by owning group (static)
         for kind, rows, gslots in dense:
-            params = sc.prim_params[kind][rows]
-            d = sdf._DIST_FNS[kind](params, q)         # [G, T, Kd]
+            params = sc.prim_params[kind][rows]          # [Kd, P]
+            d = _soa_eval(kind, params, q)               # [G, T, Kd]
             gids = slot_gid[gslots]
             for gid in np.unique(gids):
                 sel = np.where(gids == gid)[0].astype(np.int32)
                 fold(int(gid), d[..., sel])
 
         # culled part: per-tile gathered candidates
-        for (gid, kind, row_lo, idx, _mats) in pair_sel:
-            params = sc.prim_params[kind][row_lo + idx]   # [G, mcap, P]
-            d = jax.vmap(sdf._DIST_FNS[kind])(params, q)  # [G, T, mcap]
-            fold(gid, d)
+        for (gid, kind, row_lo, _idx, _mats), idx in zip(pair_sel, idxs):
+            params = sc.prim_params[kind][row_lo + idx]  # [G, mcap, P]
+            fold(gid, _soa_eval(kind, params, q))        # [G, T, mcap]
 
         out = []
         for g, a in zip(groups, accs):
@@ -261,12 +277,37 @@ def build_culled_eval(scene: FlatScene, pos: Array,
             return -k * jnp.log(jnp.maximum(s, 1e-30))
         raise ValueError(op)
 
-    def dist_fn(sc: FlatScene, q: Array) -> Array:
-        return _eval_tree(_group_values(sc, q), tree)
+    # chunked + rematerialized evaluation: reverse-mode callers (normals,
+    # the implicit-diff VJP) would otherwise stack the whole batch's
+    # [G, T, m] intermediates as residuals; lax.map over tile chunks with
+    # jax.checkpoint bounds peak memory at one chunk's worth
+    G_CHUNK = 64
+    all_idx = tuple(p[3] for p in pair_sel)
 
-    def mat_fn(sc: FlatScene, q: Array):
-        """Winning material index at q [G, T, 3] → [G, T] int32 (argmin over
-        material-bearing primitives, SdfObject.fs:26-46)."""
+    def _chunked(fn, sc: FlatScene, q: Array):
+        g = q.shape[0]
+        if g <= G_CHUNK:
+            return fn(sc, q, all_idx)
+        padg = (-g) % G_CHUNK
+        qp = jnp.pad(q, ((0, padg), (0, 0), (0, 0)), mode="edge")
+        idxp = tuple(jnp.pad(ix, ((0, padg), (0, 0)), mode="edge")
+                     for ix in all_idx)
+        qc = qp.reshape((-1, G_CHUNK) + qp.shape[1:])
+        ixc = tuple(ix.reshape((-1, G_CHUNK) + ix.shape[1:])
+                    for ix in idxp)
+        ck = jax.checkpoint(fn, static_argnums=())
+        out = jax.lax.map(lambda args: ck(sc, args[0], args[1]),
+                          (qc, ixc))
+        return out.reshape((-1,) + out.shape[2:])[:g]
+
+    def dist_fn(sc: FlatScene, q: Array) -> Array:
+        return _chunked(
+            lambda sc, qq, idxs: _eval_tree(_group_values(sc, qq, idxs),
+                                            tree), sc, q)
+
+    def _mat_chunk(sc: FlatScene, q: Array, idxs):
+        """Winning material index at q [g, T, 3] → [g, T] int32 (argmin
+        over material-bearing primitives, SdfObject.fs:26-46)."""
         shp = q.shape[:-1]
         best_d = jnp.full(shp, _BIG)
         best_m = jnp.zeros(shp, jnp.int32)
@@ -279,20 +320,24 @@ def build_culled_eval(scene: FlatScene, pos: Array,
 
         for kind, rows, mats in dense_mat:
             params = sc.prim_params[kind][rows]
-            d = sdf._DIST_FNS[kind](params, q)          # [G, T, Kd]
+            d = _soa_eval(kind, params, q)              # [g, T, Kd]
             win = jnp.argmin(d, axis=-1)
             consider(jnp.min(d, axis=-1), jnp.asarray(mats)[win])
 
-        for (_gid, kind, row_lo, idx, mat_of_row) in pair_sel:
+        for (_gid, kind, row_lo, _ix, mat_of_row), idx in zip(pair_sel,
+                                                              idxs):
             params = sc.prim_params[kind][row_lo + idx]
-            d = jax.vmap(sdf._DIST_FNS[kind])(params, q)  # [G, T, mcap]
-            cand_mats = jnp.asarray(mat_of_row)[idx]      # [G, mcap]
+            d = _soa_eval(kind, params, q)              # [g, T, mcap]
+            cand_mats = jnp.asarray(mat_of_row)[idx]    # [g, mcap]
             d = jnp.where((cand_mats >= 0)[:, None, :], d, _BIG)
-            win = jnp.argmin(d, axis=-1)                  # [G, T]
+            win = jnp.argmin(d, axis=-1)                # [g, T]
             consider(jnp.min(d, axis=-1),
                      jnp.take_along_axis(cand_mats, win, axis=-1))
 
         return best_m
+
+    def mat_fn(sc: FlatScene, q: Array):
+        return _chunked(_mat_chunk, sc, q)
 
     return dist_fn, mat_fn, reshape, n, ok
 
