@@ -54,18 +54,24 @@ from ..march import MarchConfig, bound_skip_start
 
 Array = jax.Array
 
-RAY_SUB = 8        # ray sublanes per kernel instance
-RAY_LANE = 128     # ray lanes
-RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance (8 × 128 vreg)
-PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
-DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
 import os as _os
 
-# candidates evaluated per window-loop iteration: unrolling lets Mosaic
-# pipeline the SMEM parameter loads and amortizes loop control, which
-# otherwise dominate the per-candidate cost (~10x the eval math).
+# ray sublanes per kernel instance: taller tiles amortize the per-step
+# scalar bookkeeping (window reductions, loop control) over more rays at
+# the cost of slightly more divergence (tile runs to the slowest lane)
+RAY_SUB = int(_os.environ.get("FT_RAY_SUB", "8"))
+RAY_LANE = 128     # ray lanes
+RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance
+PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
+DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
+
+# candidates evaluated per window-loop iteration as one [CAND_UNROLL,
+# RAY_SUB, 128] vector block (candidate-major, full lane utilization).
 # Env-overridable for perf experiments (tools/probe_*).
 CAND_UNROLL = int(_os.environ.get("FT_CAND_UNROLL", "8"))
+# A/B experiment: per-candidate scalar-broadcast loop (the v2/v3 inner
+# loop) instead of the vectorized candidate block
+SCALAR_CAND = bool(int(_os.environ.get("FT_SCALAR_CAND", "0")))
 # disable the running-min early-out (A/B experiments)
 NO_EARLYOUT = bool(int(_os.environ.get("FT_NO_EARLYOUT", "0")))
 # dev switch (tools/probe_*): report the summed per-step window width in
@@ -220,6 +226,24 @@ def _scalar_fn(kind, prepped):
         return lambda s, px, py, pz: fn(lambda j: s[j], px, py, pz,
                                         unit_axis=prepped)
     return lambda s, px, py, pz: fn(lambda j: s[j], px, py, pz)
+
+
+def _vec_fn(kind, prepped):
+    """Vectorized candidate-block evaluator: ``blk [CK, >=P]`` (one table
+    chunk, candidates on the major dim) + (S, 128) ray coords →
+    [CK, S, 128] distances.  Candidate parameters broadcast as [CK, 1, 1]
+    columns against [1, S, 128] rays — full lane utilization, no scalar
+    loads in the hot loop (the v2/v3 per-candidate SMEM scalar reads were
+    ~10x the eval math)."""
+    fn = _GEN_FNS[kind]
+
+    def vec(blk, px, py, pz):
+        g = lambda j: blk[:, j][:, None, None]
+        px3, py3, pz3 = px[None], py[None], pz[None]
+        if kind == "torus":
+            return fn(g, px3, py3, pz3, unit_axis=prepped)
+        return fn(g, px3, py3, pz3)
+    return vec
 
 
 def _prep_rows(kind: str, params: Array) -> Array:
@@ -494,8 +518,7 @@ def _cone_candidates(bounds: Array, cones: TileCones,
 # Kernel builder
 # ---------------------------------------------------------------------------
 
-def _pair_window(keys_ref, t, oa, lane_mask, slots: int,
-                 clamp_col: int = 2):
+def _pair_window(keys_ref, cos_lo, clamp, t, oa, lane_mask, slots: int):
     """Per-step axial candidate window for one culled pair.
 
     Every ray point's axial coordinate (along the tile cone axis, from
@@ -518,11 +541,9 @@ def _pair_window(keys_ref, t, oa, lane_mask, slots: int,
     The march steps by ``min(window min, cap)`` — never more than the true
     scene distance, and a skipped primitive can never be within epsilon
     (clamp ≥ 8·epsilon), so hits and misses are exactly those of the
-    unpruned march.
+    unpruned march.  ``cos_lo``/``clamp`` are per-tile invariants, read
+    from the SMEM misc table once in the kernel prologue and passed in.
     """
-    count = keys_ref[0, 2, 0]
-    cos_lo = keys_ref[0, 2, 1]
-    clamp = keys_ref[0, 2, clamp_col]
     lo_k = keys_ref[0, 0:1, :]                         # (1, M)
     hi_k = keys_ref[0, 1:2, :]
     p_lo_lane = oa + t * cos_lo
@@ -538,7 +559,15 @@ def _pair_window(keys_ref, t, oa, lane_mask, slots: int,
     BH = jnp.max(jnp.where(behind, lo_k, -_BIG))
     AH = jnp.min(jnp.where(ahead, hi_k, _BIG))
     cap = jnp.minimum(AH - p_hi_lane, p_lo_lane - BH)
-    return count, w_lo, w_hi, cap
+    return w_lo, w_hi, cap, phi
+
+
+def _pair_m(cull_m: int, group: int) -> int:
+    """Candidate-table slots for one culled pair: ``min(cull_m, group)``
+    rounded up to whole CAND_UNROLL chunks (never below one chunk)."""
+    m_arm = min(cull_m, group)
+    return max(CAND_UNROLL,
+               -(-m_arm // CAND_UNROLL) * CAND_UNROLL)
 
 
 @functools.lru_cache(maxsize=32)
@@ -625,10 +654,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     n_kinds = len(kind_counts)
     n_pairs = len(cull_pairs)
-    # candidate slots per pair, in whole unroll chunks (chunk-edge extras
-    # evaluate real primitives — harmless for a min reduction)
-    pair_m = [max(CAND_UNROLL,
-                  (min(cull_m, r1 - r0) // CAND_UNROLL) * CAND_UNROLL)
+    # candidate slots per pair, in whole unroll chunks, rounded UP so a
+    # cull_m >= group size always yields m >= group (overflow impossible —
+    # the recursive big-table fallback relies on this to terminate);
+    # chunk-edge extras evaluate real or duplicated primitives — harmless
+    # for a min reduction
+    pair_m = [_pair_m(cull_m, r1 - r0)
               for (_g, _k, _ki, r0, r1) in cull_pairs]
 
     # ---- group accumulator helpers -------------------------------------
@@ -688,22 +719,25 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     # ---- march-time scene distance --------------------------------------
 
-    def scene_distance(param_refs, gid_ref, pair_refs, dense_consts,
-                       px, py, pz, t, oa, active):
+    def scene_distance(param_refs, gid_ref, pair_refs, pair_consts,
+                       dense_consts, px, py, pz, t, oa, active):
         shp = px.shape
         accs = accs_init(shp)
         wwidth = []  # per-pair window widths this step (debug stats)
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
-            cand_ref, keys_ref = pair_refs[pi]
+            cand_ref, keys_ref, _misc_ref, hsuf_ref = pair_refs[pi]
+            cos_lo, clamp = pair_consts[pi][0], pair_consts[pi][1]
             P = PARAM_WIDTH[kind]
             fn = _scalar_fn(kind, prepped=True)
+            vfn = _vec_fn(kind, prepped=True)
             m = pair_m[pi]
 
             def culled_pass(_, cand_ref=cand_ref, keys_ref=keys_ref,
-                            fn=fn, P=P, m=m):
-                _count, w_lo, w_hi, cap = _pair_window(
-                    keys_ref, t, oa, active > 0.0, m)
+                            hsuf_ref=hsuf_ref, cos_lo=cos_lo, clamp=clamp,
+                            fn=fn, vfn=vfn, P=P, m=m):
+                w_lo, w_hi, cap, phi = _pair_window(
+                    keys_ref, cos_lo, clamp, t, oa, active > 0.0, m)
                 # running-min early-out (the reference's sorted
                 # nearest-first union scan, SdfForm.fs:22-34 +
                 # SdfBoundary.fs:266-268): stop the ascending axial scan
@@ -711,30 +745,40 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # lane's accumulated min.  Candidate k's distance to a lane
                 # at axial p is >= hi_key_k - p (sound even inside bounds:
                 # d_prim(x) >= |x-c| - r >= (a - r) - p_ax), so with
-                # H_cb = min_{k >= cb·U} hi_key_k (column P+2, host-side
-                # suffix-min) the scan can stop when
+                # H_cb = min_{k >= cb·U} hi_key_k (SMEM table, host-side
+                # per-chunk suffix-min) the scan can stop when
                 # max_lanes(acc + p_hi) <= H_cb — the group min is EXACTLY
                 # unchanged, like the reference's lower-bound skip.
-                p_hi = oa + t
-                stop_ref = jnp.max(jnp.where(active > 0.0, p_hi, -_BIG))
-                cb_hi = (w_hi + CAND_UNROLL - 1) // CAND_UNROLL
+                stop_ref = phi   # max over active lanes of (oa + t)
 
                 def wcond(carry):
                     cb, acc, amax = carry
                     if NO_EARLYOUT:
                         return cb < cb_hi
                     return jnp.logical_and(
-                        cb < cb_hi,
-                        amax + stop_ref > cand_ref[cb * CAND_UNROLL, P + 2])
+                        cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cb])
 
-                def wbody(carry):
-                    cb, acc, _amax = carry
-                    c0 = cb * CAND_UNROLL
-                    for k in range(CAND_UNROLL):
-                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
-                        acc = jnp.minimum(acc, fn(s, px, py, pz))
-                    amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
-                    return cb + 1, acc, amax
+                cb_hi = (w_hi + CAND_UNROLL - 1) // CAND_UNROLL
+
+                if SCALAR_CAND:
+                    def wbody(carry):
+                        cb, acc, _amax = carry
+                        c0 = cb * CAND_UNROLL
+                        for k in range(CAND_UNROLL):
+                            s = tuple(cand_ref[c0 + k, j]
+                                      for j in range(P))
+                            acc = jnp.minimum(acc, fn(s, px, py, pz))
+                        amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
+                        return cb + 1, acc, amax
+                else:
+                    def wbody(carry):
+                        cb, acc, _amax = carry
+                        blk = cand_ref[pl.ds(cb * CAND_UNROLL,
+                                             CAND_UNROLL), :]
+                        d = vfn(blk, px, py, pz)      # [CK, S, 128]
+                        acc = jnp.minimum(acc, jnp.min(d, axis=0))
+                        amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
+                        return cb + 1, acc, amax
 
                 _cb, win, _am = jax.lax.while_loop(
                     wcond, wbody,
@@ -791,7 +835,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # need the AD variant below.
 
     def surface_eval_slot(param_refs, gid_ref, mat_ref, pair_refs,
-                          dense_consts, px, py, pz, t, oa, hitm):
+                          pair_consts, dense_consts, px, py, pz, t, oa,
+                          hitm):
         """Returns (win_code, material_index) as f32 (8,128) arrays, where
         win_code = sign·(global_slot + 1) of the winning leaf (0 = none)."""
         shp = px.shape
@@ -803,34 +848,70 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         ms = jnp.full(shp, -1.0)     # material index (f32)
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
-            cand_ref, keys_ref = pair_refs[pi]
+            cand_ref, keys_ref, _misc_ref, _hsuf_ref = pair_refs[pi]
+            count = pair_consts[pi][3]
             P = PARAM_WIDTH[kind]
             fn = _scalar_fn(kind, prepped=True)
+            vfn = _vec_fn(kind, prepped=True)
             m = pair_m[pi]
 
-            def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
-                          fn=fn, P=P, m=m):
+            def culled_sp(_, cand_ref=cand_ref, count=count,
+                          fn=fn, vfn=vfn, P=P, m=m):
                 # one loop over the whole candidate list: the material
                 # winner can be far from the hit (cutter surfaces), and it
                 # subsumes the hit-shell window for the leaf argmin
-                count = keys_ref[0, 2, 0]
                 n_c = jnp.minimum(count, float(m)).astype(jnp.int32)
 
-                def body(cb, carry):
-                    bd, bs, md_, ms_ = carry
-                    c0 = cb * CAND_UNROLL
-                    for k in range(CAND_UNROLL):
-                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
-                        mat = cand_ref[c0 + k, P]
-                        slot = cand_ref[c0 + k, P + 1]
-                        d = fn(s, px, py, pz)
-                        better = (d < bd) & hitm
-                        bd = jnp.where(better, d, bd)
-                        bs = jnp.where(better, slot + 1.0, bs)
-                        mb = (d < md_) & (mat >= 0.0)
-                        md_ = jnp.where(mb, d, md_)
-                        ms_ = jnp.where(mb, mat, ms_)
-                    return bd, bs, md_, ms_
+                if SCALAR_CAND:
+                    def body(cb, carry):
+                        bd, bs, md_, ms_ = carry
+                        c0 = cb * CAND_UNROLL
+                        for k in range(CAND_UNROLL):
+                            s = tuple(cand_ref[c0 + k, j]
+                                      for j in range(P))
+                            mat = cand_ref[c0 + k, P]
+                            slot = cand_ref[c0 + k, P + 1]
+                            d = fn(s, px, py, pz)
+                            better = (d < bd) & hitm
+                            bd = jnp.where(better, d, bd)
+                            bs = jnp.where(better, slot + 1.0, bs)
+                            mb = (d < md_) & (mat >= 0.0)
+                            md_ = jnp.where(mb, d, md_)
+                            ms_ = jnp.where(mb, mat, ms_)
+                        return bd, bs, md_, ms_
+                else:
+                    def body(cb, carry):
+                        bd, bs, md_, ms_ = carry
+                        blk = cand_ref[pl.ds(cb * CAND_UNROLL,
+                                             CAND_UNROLL), :]
+                        d = vfn(blk, px, py, pz)        # [CK, S, 128]
+                        matc = blk[:, P][:, None, None]
+                        slotc = blk[:, P + 1][:, None, None]
+                        ck = jax.lax.broadcasted_iota(jnp.int32,
+                                                      d.shape, 0)
+                        # leaf argmin within the chunk; first-in-scan-order
+                        # tie-break matches the sequential scalar scan
+                        dmin = jnp.min(d, axis=0)
+                        kfst = jnp.min(
+                            jnp.where(d <= dmin[None], ck, CAND_UNROLL),
+                            axis=0)
+                        swin = jnp.sum(jnp.where(ck == kfst[None],
+                                                 slotc, 0.0), axis=0)
+                        better = (dmin < bd) & hitm
+                        bd = jnp.where(better, dmin, bd)
+                        bs = jnp.where(better, swin + 1.0, bs)
+                        # material argmin over mat>=0 candidates
+                        dm = jnp.where(matc >= 0.0, d, _BIG)
+                        dmm = jnp.min(dm, axis=0)
+                        mfst = jnp.min(
+                            jnp.where(dm <= dmm[None], ck, CAND_UNROLL),
+                            axis=0)
+                        mwin = jnp.sum(jnp.where(ck == mfst[None],
+                                                 matc, 0.0), axis=0)
+                        mb = dmm < md_
+                        md_ = jnp.where(mb, dmm, md_)
+                        ms_ = jnp.where(mb, mwin, ms_)
+                        return bd, bs, md_, ms_
 
                 init = (jnp.full(shp, _BIG), jnp.zeros(shp), md, ms)
                 return jax.lax.fori_loop(
@@ -920,8 +1001,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     # ---- surface pass (AD mode): value + gradient + material -------------
 
-    def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-                     px, py, pz, t, oa, hitm):
+    def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
+                     dense_consts, px, py, pz, t, oa, hitm):
         """At the (backed-off) hit points: per-group (value, ∇value) plus
         the global material argmin over material-visible primitives.
         Window bounds come from the hit lanes' t-range; the window clamp
@@ -967,19 +1048,23 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             return d, gx, gy, gz
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
-            cand_ref, keys_ref = pair_refs[pi]
+            cand_ref, keys_ref, _misc_ref, _hsuf_ref = pair_refs[pi]
+            cos_lo = pair_consts[pi][0]
+            surf_clamp = pair_consts[pi][2]
+            count = pair_consts[pi][3]
             P = PARAM_WIDTH[kind]
             fn = _scalar_fn(kind, prepped=True)
             m = pair_m[pi]
             g_op = groups[gid].op
 
             def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
-                          fn=fn, P=P, m=m, gid=gid):
+                          cos_lo=cos_lo, surf_clamp=surf_clamp,
+                          count=count, fn=fn, P=P, m=m, gid=gid):
                 # normal window margin: the hit shell only (8·eps, misc
                 # col 3) — far narrower than the march clamp; the argmin
                 # the normal depends on is within epsilon of a hit
-                _c, w_lo, w_hi, cap = _pair_window(keys_ref, t, oa, hitm,
-                                                   m, clamp_col=3)
+                w_lo, w_hi, cap, _phi = _pair_window(
+                    keys_ref, cos_lo, surf_clamp, t, oa, hitm, m)
 
                 def body(cb, carry):
                     c0 = cb * CAND_UNROLL
@@ -1029,7 +1114,6 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # the nearest visible material, SdfObject.fs:26-46), so
                 # loop over the *whole* candidate list — one march-step's
                 # worth of work, not windowed
-                count = keys_ref[0, 2, 0]
                 n_mat = jnp.minimum(count, float(m)).astype(jnp.int32)
 
                 def mbody(cb, carry):
@@ -1165,29 +1249,39 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     n_ray = 9 + int(has_sign and mode == "march") + int(has_oa)
 
     def _unpack(refs):
-        """Common tail unpack: params/gid/mat/pair tables + outputs."""
+        """Common tail unpack: params/gid/mat/pair tables + outputs.
+        Per-tile pair invariants (candidate count, cone cosine, window
+        clamps) are read from the SMEM misc table ONCE here — the v3
+        kernel re-read them from VMEM keys every march step."""
         param_refs = refs[n_ray:n_ray + n_kinds]
         gid_ref = refs[n_ray + n_kinds]
         mat_ref = refs[n_ray + 1 + n_kinds]
         pair_flat = refs[n_ray + 2 + n_kinds:
-                         n_ray + 2 + n_kinds + 2 * n_pairs]
-        pair_refs = [(pair_flat[2 * i], pair_flat[2 * i + 1])
+                         n_ray + 2 + n_kinds + 4 * n_pairs]
+        pair_refs = [tuple(pair_flat[4 * i + j] for j in range(4))
                      for i in range(n_pairs)]
-        outs = refs[n_ray + 2 + n_kinds + 2 * n_pairs:]
+        outs = refs[n_ray + 2 + n_kinds + 4 * n_pairs:]
+        pair_consts = []
+        for (_cand, _keys, misc_ref, _hsuf) in pair_refs:
+            pair_consts.append((misc_ref[0, 0, 1],   # cos_lo
+                                misc_ref[0, 0, 2],   # march window clamp
+                                misc_ref[0, 0, 3],   # surface margin
+                                misc_ref[0, 0, 0]))  # candidate count
         dense_consts = []
         if dense_mode == "scalar":
             for (kind, ki, row, gid, mat, slot) in dense_slots:
                 P = PARAM_WIDTH[kind]
                 s = tuple(param_refs[ki][row, j] for j in range(P))
                 dense_consts.append((kind, s, gid, mat, slot))
-        return param_refs, gid_ref, mat_ref, pair_refs, dense_consts, outs
+        return (param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
+                dense_consts, outs)
 
     def surf_kernel(*refs):
         """One-shot surface pass at given (t, hit) points."""
         (ox, oy, oz, dxr, dyr, dzr, tt, ep, hitref) = refs[:9]
         oa = refs[9][:, :] if has_oa else None
-        (param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-         outs) = _unpack(refs)
+        (param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
+         dense_consts, outs) = _unpack(refs)
         t = tt[:, :]
         eps = ep[:, :]
         hitm = hitref[:, :] > 0
@@ -1198,14 +1292,15 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         if slot_mode:
             win_out, mat_out = outs
             code, ms = surface_eval_slot(
-                param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-                px, py, pz, t, oa, hitm)
+                param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
+                dense_consts, px, py, pz, t, oa, hitm)
             win_out[:, :] = jnp.where(hitm, code, 0.0).astype(jnp.int32)
             mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
         else:
             nx_out, ny_out, nz_out, mat_out = outs
             gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
-                                          pair_refs, dense_consts,
+                                          pair_refs, pair_consts,
+                                          dense_consts,
                                           px, py, pz, t, oa, hitm)
             inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
             nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
@@ -1226,8 +1321,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             sgn = refs[k][:, :]
             k += 1
         oa = refs[k][:, :] if has_oa else None
-        (param_refs, gid_ref, mat_ref, pair_refs, dense_consts,
-         outs) = _unpack(refs)
+        (param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
+         dense_consts, outs) = _unpack(refs)
         if occl:
             # any-hit occlusion (shadow rays, SdfLight.fs:10-21): identical
             # stepping/termination → identical hit set, but no t/d outputs
@@ -1247,7 +1342,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             py = origin[1] + t * direc[1]
             pz = origin[2] + t * direc[2]
             d, w = scene_distance(param_refs, gid_ref, pair_refs,
-                                  dense_consts, px, py, pz, t, oa, active)
+                                  pair_consts, dense_consts,
+                                  px, py, pz, t, oa, active)
             # per-lane sign: -1 marches *inside* the solid toward the exit
             # surface (refraction transmission).  Sound under the window
             # cap: a containing primitive's bound always contains the
@@ -1353,60 +1449,6 @@ def slot_surface_mode(plan: Plan) -> bool:
     return not any(g.op == "sumexp" for g in groups)
 
 
-def _dense_fallback(scene: FlatScene, rays: Rays, cfg: MarchConfig,
-                    sign: Array | None, want_surface: bool,
-                    slot_mode: bool):
-    """Candidate-overflow escape hatch: the dense jnp march (+ dense
-    surface info) over the whole flat batch, tiled so the per-step
-    [tile, K] distance matrix stays bounded.  Lives in the rarely-taken
-    branch of a ``lax.cond`` — XLA compiles it in seconds (it is ordinary
-    jnp), and it never executes when ``cull_m`` is sized correctly.
-    Output structure mirrors the kernel path's ``fast`` tuple."""
-    from ..march import _march_raw
-    from .. import sdf as _sdf
-
-    n = rays.origin.shape[0]
-    ch = 16384
-    pad = (-n) % ch
-    if pad:
-        def pad_leaf(x):
-            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-        rays_p = jax.tree.map(pad_leaf, rays)
-        rays_p = rays_p.replace(length=rays_p.length.at[n:].set(0.0))
-        sign_p = None if sign is None else jnp.pad(sign, (0, pad),
-                                                   constant_values=1.0)
-    else:
-        rays_p, sign_p = rays, sign
-    npd = n + pad
-    chunked = jax.tree.map(lambda x: x.reshape((npd // ch, ch)
-                                               + x.shape[1:]), rays_p)
-    sign_c = None if sign_p is None else sign_p.reshape(npd // ch, ch)
-
-    def per_chunk(args):
-        r, sg = args
-        res = _march_raw(scene, r, cfg, sg)
-        out = (res.t, res.hit, res.distance,
-               jnp.broadcast_to(res.steps, res.t.shape).astype(jnp.int32))
-        if want_surface:
-            pos = r.at(res.t - r.epsilon)
-            midx, _alb = _sdf.material_at(scene, pos)
-            midx = jnp.where(res.hit, midx, -1).astype(jnp.int32)
-            if slot_mode:
-                code = _sdf.winning_leaf_code(scene, pos)
-                code = jnp.where(res.hit, code, 0.0).astype(jnp.int32)
-                out = out + (code, midx)
-            else:
-                nrm = _sdf.scene_normal(scene, pos)
-                out = out + (nrm[..., 0], nrm[..., 1], nrm[..., 2], midx)
-        return out
-
-    if sign_c is not None:
-        outs = jax.lax.map(per_chunk, (chunked, sign_c))
-    else:
-        outs = jax.lax.map(lambda r: per_chunk((r, None)), chunked)
-    return tuple(o.reshape(npd)[:n] for o in outs)
-
-
 def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                      interpret: bool = False, want_surface: bool = False,
                      sign: Array | None = None, occlusion: bool = False):
@@ -1498,51 +1540,68 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         clamp_eff = jnp.maximum(jnp.float32(cfg.cull_window_clamp),
                                 8.0 * cones.eps_max)              # [G]
         for (_gid, kind, _ki, row_lo, row_hi) in pairs:
-            # whole unroll chunks; must mirror _build_kernel's pair_m
-            m = max(CAND_UNROLL,
-                    (min(cull_m, row_hi - row_lo) // CAND_UNROLL)
-                    * CAND_UNROLL)
+            # must mirror _build_kernel's pair_m
+            m = _pair_m(cull_m, row_hi - row_lo)
             kparams = jax.lax.stop_gradient(
                 scene.prim_params[kind][row_lo:row_hi])
             kb = _sdf._prim_bound_rows(kind, kparams)
             sel = _cone_candidates(kb, cones, m)
             if m < row_hi - row_lo:
-                # overflow possible → arm the host-side dense fallback;
-                # with m >= group size the count can never exceed m and
-                # the cond is not emitted at all
+                # overflow possible → arm the host-side big-table
+                # fallback; with m >= group size the count can never
+                # exceed m and the cond is not emitted at all
                 ovf = jnp.any(sel.count > m)
                 overflow = ovf if overflow is None else (overflow | ovf)
+            if sel.idx.shape[1] < m:
+                # group smaller than the chunk-rounded table: pad with
+                # duplicates of slot 0, keys at +BIG (always "ahead" →
+                # never evaluated; harmless if a chunk edge touches them)
+                padn = m - sel.idx.shape[1]
+                sel = CandSelect(
+                    jnp.pad(sel.idx, ((0, 0), (0, padn)), mode="edge"),
+                    sel.count,
+                    jnp.pad(sel.lo_key, ((0, 0), (0, padn)),
+                            constant_values=_BIG),
+                    jnp.pad(sel.hi_key, ((0, 0), (0, padn)),
+                            constant_values=_BIG))
             prepped = _prep_rows(kind, kparams)
             mats_np = np.array(
                 [float(mat_vis[offsets[kind] + r])
                  for r in range(row_lo, row_hi)], np.float32)
             slots_np = np.arange(offsets[kind] + row_lo,
                                  offsets[kind] + row_hi, dtype=np.float32)
-            # column P+2: per-chunk suffix-min of hi_key — the kernel's
-            # running-min early-out bound (see culled_pass)
-            suf = jax.lax.cummin(sel.hi_key[:, ::-1], axis=1)[:, ::-1]
-            chunk_start = (np.arange(m) // CAND_UNROLL) * CAND_UNROLL
-            hrow = suf[:, chunk_start]                       # [G, m]
             table = jnp.concatenate(
                 [prepped[sel.idx],                           # [G, m, P]
                  jnp.asarray(mats_np)[sel.idx][..., None],   # [G, m, 1]
-                 jnp.asarray(slots_np)[sel.idx][..., None],  # global slot
-                 hrow[..., None]],
+                 jnp.asarray(slots_np)[sel.idx][..., None]],  # global slot
                 axis=-1)
             pw = table.shape[-1]
-            misc = jnp.zeros((grid, m), jnp.float32)
-            misc = misc.at[:, 0].set(sel.count.astype(jnp.float32))
-            misc = misc.at[:, 1].set(cones.cos_lo)
-            misc = misc.at[:, 2].set(clamp_eff)
-            # surface-pass window margin: hit shell only (epsilon-scale)
-            misc = misc.at[:, 3].set(8.0 * cones.eps_max + 1e-3)
-            keys = jnp.stack([sel.lo_key, sel.hi_key, misc], axis=1)
+            keys = jnp.stack([sel.lo_key, sel.hi_key], axis=1)
+            # per-tile invariants, one SMEM row: count, cos_lo, march
+            # window clamp, surface window margin (hit shell only).
+            # Leading unit axis: Pallas requires the LAST TWO block dims
+            # to be tile-aligned or full — [G, 1, 4] blocks as (1, 1, 4).
+            misc = jnp.stack(
+                [sel.count.astype(jnp.float32), cones.cos_lo, clamp_eff,
+                 8.0 * cones.eps_max + 1e-3], axis=1)[:, None, :]
+            # per-chunk suffix-min of hi_key — the running-min early-out
+            # bound (see culled_pass), scalar-read per chunk from SMEM
+            suf = jax.lax.cummin(sel.hi_key[:, ::-1], axis=1)[:, ::-1]
+            hsuf = suf[:, None, ::CAND_UNROLL]   # [G, 1, m // CAND_UNROLL]
             cull_inputs.append(table.reshape(grid * m, pw))
-            cull_inputs.append(keys)                         # [G, 3, m]
+            cull_inputs.append(keys)                         # [G, 2, m]
+            cull_inputs.append(misc)
+            cull_inputs.append(hsuf)
+            table_space = pltpu.SMEM if SCALAR_CAND else pltpu.VMEM
             cull_specs.append(pl.BlockSpec(
-                (m, pw), lambda i: (i, 0), memory_space=pltpu.SMEM))
+                (m, pw), lambda i: (i, 0), memory_space=table_space))
             cull_specs.append(pl.BlockSpec(
-                (1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+                (1, 2, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+            cull_specs.append(pl.BlockSpec(
+                (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM))
+            cull_specs.append(pl.BlockSpec(
+                (1, 1, m // CAND_UNROLL), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM))
 
     ray_spec = pl.BlockSpec((RAY_SUB, RAY_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1583,14 +1642,42 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     )(ox, oy, oz, dxx, dyy, dzz, ln, ep, t0p, *sign_in, *oa_in, *params,
       gid_in, mat_in, *cull_inputs)
 
+    if overflow is not None:
+        # a tile's conservative candidate count exceeded its table: the
+        # kernel's windows would be unsound for that frame.  Fall back to
+        # the SAME pallas pipeline with full-group candidate tables (the
+        # recursive call has m >= every group so its own cond vanishes) —
+        # exact, lazily evaluated inside the cond branch, and far cheaper
+        # to compile than the dense lax.map march it replaces (which cost
+        # ~370 s of XLA compile at the benchmark structure)
+        import dataclasses as _dc
+        max_group = max(r1 - r0 for (_g, _k, _ki, r0, r1) in pairs)
+        cfg_big = _dc.replace(cfg, cull_m=max_group,
+                              cull_m_shadow=max_group)
+
+        def _big_fallback(_):
+            out = pallas_march_raw(scene, rays, cfg_big, interpret,
+                                   want_surface=want_surface, sign=sign,
+                                   occlusion=occlusion)
+            if occlusion:
+                return out
+            if not want_surface:
+                return (out.t, out.hit, out.distance, out.steps)
+            if slot_mode:
+                res, code, midx = out
+                return (res.t, res.hit, res.distance, res.steps,
+                        code, midx)
+            res, normal, midx = out
+            return (res.t, res.hit, res.distance, res.steps,
+                    normal[:, 0], normal[:, 1], normal[:, 2], midx)
+    else:
+        _big_fallback = None
+
     if occlusion:
         hit = outs[0].reshape(npad)[:n].astype(bool) & ~miss0
-        if overflow is not None:
-            hit = jax.lax.cond(
-                overflow,
-                lambda _: _dense_fallback(scene, rays, cfg, sign,
-                                          False, slot_mode)[1],
-                lambda _: hit, None)
+        if _big_fallback is not None:
+            hit = jax.lax.cond(overflow, _big_fallback,
+                               lambda _: hit, None)
         return hit
 
     t_k, hit_k, d_k, steps_k = [o.reshape(npad)[:n] for o in outs[:4]]
@@ -1604,6 +1691,15 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
             pairs, cull_m, cfg.relax_omega, "surface", mat_vis,
             has_sign=False)
+        cull_specs_surf = cull_specs
+        if not slot_mode and not SCALAR_CAND:
+            # the AD-mode surface pass keeps the scalar candidate loop
+            # (per-candidate vjp) → its call wants the table in SMEM
+            cull_specs_surf = [
+                pl.BlockSpec(sp.block_shape, sp.index_map,
+                             memory_space=pltpu.SMEM)
+                if i % 4 == 0 else sp
+                for i, sp in enumerate(cull_specs)]
         if slot_mode:
             s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE),
                                             jnp.int32)] * 2
@@ -1616,7 +1712,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             surf_kernel,
             grid=(grid,),
             in_specs=[ray_spec] * (9 + len(oa_in)) + param_specs
-            + cull_specs,
+            + cull_specs_surf,
             out_specs=s_specs,
             out_shape=s_shape,
             interpret=interpret,
@@ -1633,16 +1729,11 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             midx = souts[3].reshape(npad)[:n]
             fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1))
 
-    if overflow is not None:
-        # a tile's conservative candidate count exceeded its table: the
-        # kernel's windows are unsound for that frame — recompute the whole
-        # batch with the dense jnp path (XLA-compiled; the branch costs
-        # nothing when not taken, and cull_m is sized so it never is)
-        fast = jax.lax.cond(
-            overflow,
-            lambda _: _dense_fallback(scene, rays, cfg, sign, want_surface,
-                                      slot_mode),
-            lambda _: fast, None)
+    if _big_fallback is not None:
+        # see the occlusion-path comment: exact full-table re-march in the
+        # rarely-taken branch; costs nothing when cull_m is sized right
+        fast = jax.lax.cond(overflow, _big_fallback,
+                            lambda _: fast, None)
 
     res = MarchResult(hit=fast[1], t=fast[0], distance=fast[2],
                       steps=fast[3])

@@ -37,21 +37,31 @@ def initialize(coordinator_address: Optional[str] = None,
     # NOTE: do not probe jax.process_count() here — it initializes the XLA
     # backend, after which jax.distributed.initialize refuses to run.  The
     # distributed-client handle is the side-effect-free "already
-    # initialized" signal.
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
-        return  # already initialized
+    # initialized" signal; it lives in a private module with no stability
+    # guarantee, so treat it as an optimization only and fall back to
+    # calling initialize() and tolerating "already initialized" errors.
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # private API moved: rely on the RuntimeError fallback below
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError):
-            # single-process run (no cluster env): nothing to initialize
+            # single-process run (no cluster env) or already initialized:
+            # nothing to do
             pass
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_mesh():
