@@ -416,43 +416,6 @@ def _march_surf_bwd(cfg, residuals, ct):
 _march_surf_cvjp.defvjp(_march_surf_fwd, _march_surf_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _march_slot_cvjp(scene: FlatScene, rays: Rays, sign: Array,
-                     cfg: MarchConfig):
-    return _surf_raw(scene, rays, sign, cfg)
-
-
-def _march_slot_fwd(scene, rays, sign, cfg):
-    out = _march_slot_cvjp(scene, rays, sign, cfg)
-    return out, (scene, rays, sign, out[0])
-
-
-def _march_slot_bwd(cfg, residuals, ct):
-    """Slot-mode backward: only t carries a cotangent (the winning-leaf
-    code and material index are integers; the *normal* is built outside
-    this custom VJP from the leaf's closed form, so it differentiates
-    through ordinary AD)."""
-    scene, rays, sign, raw = residuals
-    ct_res, _ct_code, _ct_m = ct
-    sg = jax.lax.stop_gradient
-    signv = None if sign.ndim == 0 else sg(sign)
-    batch = raw.t.shape
-    if signv is None:
-        scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
-    else:
-        scene_d = lambda sc, x: sdf.scene_distance(sc, x)
-        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
-    bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, signv, raw,
-                                     scene_d, x0, ct_res.t)
-    bar_rays = Rays(origin=bar_o, direction=bar_d,
-                    length=jnp.zeros_like(rays.length),
-                    epsilon=jnp.zeros_like(rays.epsilon))
-    return bar_scene, bar_rays, jnp.zeros_like(sign)
-
-
-_march_slot_cvjp.defvjp(_march_slot_fwd, _march_slot_bwd)
-
-
 def march_surface(scene: FlatScene, rays: Rays,
                   cfg: MarchConfig = MarchConfig(),
                   sign: Array | None = None):
@@ -465,17 +428,14 @@ def march_surface(scene: FlatScene, rays: Rays,
     winning material (argmin over material-visible primitives,
     SdfObject.fs:26-64; -1 on miss).  On the Pallas backend with
     ``cfg.fuse_surface`` this is a single fused kernel; ``t`` and
-    ``normal`` stay differentiable via a custom VJP.  Other backends fall
-    back to march + dense evaluation.
+    ``normal`` stay differentiable via a custom VJP.  Normals come from
+    the kernel in both surface modes (slot mode recovers the winning
+    leaf's gradient in-kernel with a masked-cotangent sweep — a host-side
+    per-ray parameter gather would serialize on TPU).  Other backends
+    fall back to march + dense evaluation.
     """
     if cfg.backend.startswith("pallas") and cfg.fuse_surface:
-        from .pallas.march_kernel import slot_surface_mode
         sign_arg = jnp.float32(0.0) if sign is None else sign
-        if slot_surface_mode(scene.plan):
-            res, code, midx = _march_slot_cvjp(scene, rays, sign_arg, cfg)
-            pos = rays.at(res.t - rays.epsilon)
-            normal = sdf.leaf_normal(scene, code, pos)
-            return res, normal, midx
         return _march_surf_cvjp(scene, rays, sign_arg, cfg)
     res = march(scene, rays, cfg, sign=sign)
     pos = rays.at(res.t - rays.epsilon)

@@ -58,10 +58,31 @@ import os as _os
 
 # ray sublanes per kernel instance: taller tiles amortize the per-step
 # scalar bookkeeping (window reductions, loop control) over more rays at
-# the cost of slightly more divergence (tile runs to the slowest lane)
-RAY_SUB = int(_os.environ.get("FT_RAY_SUB", "8"))
+# the cost of slightly more divergence (tile runs to the slowest lane).
+# Measured on v5e at 1024²: 32 sublanes ≈ 1.3-1.7× over 8 on every march
+# stage.  Interpret-mode (CPU tests) keeps 8 — small batches pad to one
+# tile and interpret cost scales with lanes.
 RAY_LANE = 128     # ray lanes
-RAY_TILE = RAY_SUB * RAY_LANE   # rays per kernel instance
+
+
+def ray_sub() -> int:
+    """Ray-tile height (sublanes): FT_RAY_SUB env override, else 32 on
+    real TPU, 8 elsewhere (interpret mode)."""
+    env = _os.environ.get("FT_RAY_SUB")
+    if env:
+        return int(env)
+    import jax as _jax
+    return 32 if _jax.default_backend() == "tpu" else 8
+
+
+def ray_tile() -> int:
+    return ray_sub() * RAY_LANE
+
+
+# interpret-mode (CPU) tile shape — the fixed reference point for tests
+# and host tools that reason about per-tile statistics
+RAY_SUB = 8
+RAY_TILE = RAY_SUB * RAY_LANE
 PRIM_CHUNK = 128   # primitive lanes per chunked-sweep inner step
 DENSE_SCALAR_MAX = 24  # dense prims at or below this count unroll as scalars
 
@@ -371,7 +392,8 @@ class TileCones(NamedTuple):
 
 
 def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
-                epsilon: Array, grid: int) -> TileCones:
+                epsilon: Array, grid: int,
+                tile: int = RAY_TILE) -> TileCones:
     """Per-ray-tile bounding cones.
 
     Built from the *pre-bound-skip* origins plus the march range
@@ -381,11 +403,11 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     across the whole bounding sphere, inflating ``margin`` until every
     primitive is a candidate.  Inactive lanes (t_hi<=t_lo: provable miss,
     padding) are masked out of every statistic."""
-    o = origin.reshape(grid, RAY_TILE, 3)
-    d = direction.reshape(grid, RAY_TILE, 3)
-    lo = t_lo.reshape(grid, RAY_TILE)
-    hi = t_hi.reshape(grid, RAY_TILE)
-    ep = epsilon.reshape(grid, RAY_TILE)
+    o = origin.reshape(grid, tile, 3)
+    d = direction.reshape(grid, tile, 3)
+    lo = t_lo.reshape(grid, tile)
+    hi = t_hi.reshape(grid, tile)
+    ep = epsilon.reshape(grid, tile)
 
     act = (hi > lo).astype(jnp.float32)                          # [G,T]
     n_act = jnp.sum(act, axis=1)
@@ -837,8 +859,15 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     def surface_eval_slot(param_refs, gid_ref, mat_ref, pair_refs,
                           pair_consts, dense_consts, px, py, pz, t, oa,
                           hitm):
-        """Returns (win_code, material_index) as f32 (8,128) arrays, where
-        win_code = sign·(global_slot + 1) of the winning leaf (0 = none)."""
+        """Slot-mode surface pass: CSG min/max selects exactly one leaf, so
+        track the winning leaf's signed slot code through the plan tree,
+        then recover its gradient with ONE masked-cotangent vjp sweep over
+        the candidate lists (cotangent 1 on candidates whose slot equals
+        the winner — the broadcast-transpose sums exactly the winner's
+        gradient).  All in-kernel, all vector lanes: replaces the
+        host-side ``leaf_normal`` per-ray row gather, which XLA lowers to
+        a serialized dynamic gather (~44 ms/Mray on v5e, more when fused).
+        Returns (gx, gy, gz, material_index) with the CSG sign applied."""
         shp = px.shape
         vs = []          # per group: [value, slot_code]
         for g in groups:
@@ -997,7 +1026,88 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             return out
 
         _v, code = ev_s(tree)
-        return code, ms
+
+        # ---- winner-gradient sweep (normals) -----------------------------
+        target = jnp.abs(code) - 1.0      # winning global slot, -1 = none
+        sgn = jnp.sign(code)              # subtract flips the b-side sign
+        ones = jnp.ones(shp)
+        gx = jnp.zeros(shp)
+        gy = jnp.zeros(shp)
+        gz = jnp.zeros(shp)
+
+        def val_grad(fn, s):
+            d, vjp = jax.vjp(lambda ax, ay, az: fn(s, ax, ay, az),
+                             px, py, pz)
+            ggx, ggy, ggz = vjp(ones)
+            return d, ggx, ggy, ggz
+
+        for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
+            cand_ref, _keys_ref, _misc_ref, _hsuf_ref = pair_refs[pi]
+            count = pair_consts[pi][3]
+            P = PARAM_WIDTH[kind]
+            fn = _scalar_fn(kind, prepped=True)
+            vfn = _vec_fn(kind, prepped=True)
+            m = pair_m[pi]
+            n_c = jnp.minimum(count, float(m)).astype(jnp.int32)
+
+            if SCALAR_CAND:
+                def nbody(cb, carry, cand_ref=cand_ref, fn=fn, P=P):
+                    gx_, gy_, gz_ = carry
+                    c0 = cb * CAND_UNROLL
+                    for k in range(CAND_UNROLL):
+                        s = tuple(cand_ref[c0 + k, j] for j in range(P))
+                        slot = cand_ref[c0 + k, P + 1]
+                        sel = (slot == target) & hitm
+                        _d, ggx, ggy, ggz = val_grad(fn, s)
+                        gx_ = jnp.where(sel, ggx, gx_)
+                        gy_ = jnp.where(sel, ggy, gy_)
+                        gz_ = jnp.where(sel, ggz, gz_)
+                    return gx_, gy_, gz_
+            else:
+                def nbody(cb, carry, cand_ref=cand_ref, vfn=vfn, P=P):
+                    gx_, gy_, gz_ = carry
+                    blk = cand_ref[pl.ds(cb * CAND_UNROLL,
+                                         CAND_UNROLL), :]
+                    slotc = blk[:, P + 1][:, None, None]
+                    _d, vjpf = jax.vjp(
+                        lambda a, b, c: vfn(blk, a, b, c), px, py, pz)
+                    # duplicate padded rows can double-count the winner's
+                    # gradient — harmless, the direction is normalized
+                    ct = jnp.where(slotc == target[None], 1.0, 0.0)
+                    ggx, ggy, ggz = vjpf(ct)
+                    return gx_ + ggx, gy_ + ggy, gz_ + ggz
+
+            gx, gy, gz = jax.lax.fori_loop(
+                0, (n_c + CAND_UNROLL - 1) // CAND_UNROLL, nbody,
+                (gx, gy, gz))
+
+        if dense_mode == "scalar":
+            for (kind, s_params, gid, mat, slot) in dense_consts:
+                fn = _scalar_fn(kind, prepped=False)
+                _d, ggx, ggy, ggz = val_grad(fn, s_params)
+                sel = target == float(slot)
+                gx = jnp.where(sel, ggx, gx)
+                gy = jnp.where(sel, ggy, gy)
+                gz = jnp.where(sel, ggz, gz)
+        else:
+            for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
+                params = param_refs[ki][r0:r0 + rows, :]
+                soa = _soa_fn(kind)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.float32, (1, 1, rows), 2)
+
+                def f(a, b, c, params=params, soa=soa, lane=lane,
+                      gs0=gs0, rows=rows):
+                    d3 = soa(params, a[..., None], b[..., None],
+                             c[..., None])
+                    sel = (lane + float(gs0)) == target[..., None]
+                    return jnp.sum(jnp.where(sel, d3, 0.0), axis=-1)
+
+                _d, vjpf = jax.vjp(f, px, py, pz)
+                ggx, ggy, ggz = vjpf(ones)
+                gx, gy, gz = gx + ggx, gy + ggy, gz + ggz
+
+        return sgn * gx, sgn * gy, sgn * gz, ms
 
     # ---- surface pass (AD mode): value + gradient + material -------------
 
@@ -1289,24 +1399,16 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         px = ox[:, :] + ts * dxr[:, :]
         py = oy[:, :] + ts * dyr[:, :]
         pz = oz[:, :] + ts * dzr[:, :]
-        if slot_mode:
-            win_out, mat_out = outs
-            code, ms = surface_eval_slot(
-                param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
-                dense_consts, px, py, pz, t, oa, hitm)
-            win_out[:, :] = jnp.where(hitm, code, 0.0).astype(jnp.int32)
-            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
-        else:
-            nx_out, ny_out, nz_out, mat_out = outs
-            gx, gy, gz, ms = surface_eval(param_refs, gid_ref, mat_ref,
-                                          pair_refs, pair_consts,
-                                          dense_consts,
-                                          px, py, pz, t, oa, hitm)
-            inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
-            nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
-            ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
-            nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
-            mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+        nx_out, ny_out, nz_out, mat_out = outs
+        ev = surface_eval_slot if slot_mode else surface_eval
+        gx, gy, gz, ms = ev(param_refs, gid_ref, mat_ref, pair_refs,
+                            pair_consts, dense_consts,
+                            px, py, pz, t, oa, hitm)
+        inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
+        nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
+        ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
+        nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
+        mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
 
     if mode == "surface":
         return surf_kernel, n_kinds, slot_gid, dense_mode, slot_mode
@@ -1483,9 +1585,11 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         length = jnp.minimum(length, t_exit)
     length = jnp.where(miss0, 0.0, length)
 
-    pad = (-n) % RAY_TILE
+    sub = ray_sub()
+    tile = sub * RAY_LANE
+    pad = (-n) % tile
     npad = n + pad
-    grid = npad // RAY_TILE
+    grid = npad // tile
 
     def pad1(x, fill=0.0):
         x = jnp.pad(x, ((0, pad),), constant_values=fill)
@@ -1528,12 +1632,13 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         tlo_p = jnp.pad(t0, ((0, pad),))
         thi_p = pad1(jnp.where(length > 0.0, length, t0)).reshape(-1)
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
-        cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid)
+        cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid,
+                            tile)
         # per-lane exact axial origin offset (o - apex)·axis — the kernel's
         # per-step windows use it instead of tile-wide bounds, so origin
         # spread (shadow tiles!) doesn't widen the windows
         oa_in = [jnp.sum(
-            (origin_p.reshape(grid, RAY_TILE, 3) - cones.apex[:, None, :])
+            (origin_p.reshape(grid, tile, 3) - cones.apex[:, None, :])
             * cones.axis[:, None, :], axis=-1
         ).reshape(npad // RAY_LANE, RAY_LANE)]
         # skipped-candidate distance floor: must exceed the hit shell
@@ -1603,7 +1708,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 (1, 1, m // CAND_UNROLL), lambda i: (i, 0, 0),
                 memory_space=pltpu.SMEM))
 
-    ray_spec = pl.BlockSpec((RAY_SUB, RAY_LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((sub, RAY_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in range(n_kinds + 2)]  # +gid table, +mat table
@@ -1663,10 +1768,6 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 return out
             if not want_surface:
                 return (out.t, out.hit, out.distance, out.steps)
-            if slot_mode:
-                res, code, midx = out
-                return (res.t, res.hit, res.distance, res.steps,
-                        code, midx)
             res, normal, midx = out
             return (res.t, res.hit, res.distance, res.steps,
                     normal[:, 0], normal[:, 1], normal[:, 2], midx)
@@ -1700,14 +1801,9 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                              memory_space=pltpu.SMEM)
                 if i % 4 == 0 else sp
                 for i, sp in enumerate(cull_specs)]
-        if slot_mode:
-            s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE),
-                                            jnp.int32)] * 2
-            s_specs = [ray_spec] * 2
-        else:
-            s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
-                + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
-            s_specs = [ray_spec] * 4
+        s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
+            + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
+        s_specs = [ray_spec] * 4
         souts = pl.pallas_call(
             surf_kernel,
             grid=(grid,),
@@ -1719,15 +1815,9 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             compiler_params=cparams,
         )(ox, oy, oz, dxx, dyy, dzz, outs[0], ep, outs[1],
           *oa_in, *params, gid_in, mat_in, *cull_inputs)
-        if slot_mode:
-            code = souts[0].reshape(npad)[:n]
-            midx = souts[1].reshape(npad)[:n]
-            fast = fast + (jnp.where(hit, code, 0),
-                           jnp.where(hit, midx, -1))
-        else:
-            nx, ny, nz = [o.reshape(npad)[:n] for o in souts[0:3]]
-            midx = souts[3].reshape(npad)[:n]
-            fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1))
+        nx, ny, nz = [o.reshape(npad)[:n] for o in souts[0:3]]
+        midx = souts[3].reshape(npad)[:n]
+        fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1))
 
     if _big_fallback is not None:
         # see the occlusion-path comment: exact full-table re-march in the
@@ -1739,7 +1829,5 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                       steps=fast[3])
     if not want_surface:
         return res
-    if slot_mode:
-        return res, fast[4], fast[5]
     normal = jnp.stack([fast[4], fast[5], fast[6]], axis=-1)
     return res, normal, fast[7]

@@ -89,14 +89,25 @@ def _trace_tiled(scene: FlatScene, rays: Rays, march_cfg: MarchConfig,
     return out[:n] if pad else out
 
 
+def _auto_block(height: int, width: int) -> int:
+    """Screen-block edge matching the kernel's ray-tile size: one square
+    b×b block per tile (b² = ray_tile) keeps the tile's ray cone as
+    narrow as possible."""
+    from .ops.pallas.march_kernel import ray_tile
+    b = max(32, int(ray_tile() ** 0.5))
+    while height % b or width % b:
+        b //= 2
+    return max(b, 1)
+
+
 @functools.lru_cache(maxsize=16)
 def _block_perm(height: int, width: int, b: int = 32):
     """Pixel permutation into b×b screen blocks (and its inverse).
 
-    The Pallas march culls primitives per 1024-ray tile; tiles of spatially
-    coherent pixels (32×32 blocks) have narrow ray cones → small candidate
-    lists.  Row-major order would make each tile a thin full-width strip
-    with a uselessly wide cone.
+    The Pallas march culls primitives per ray tile; tiles of spatially
+    coherent pixels (square blocks sized to the tile) have narrow ray
+    cones → small candidate lists.  Row-major order would make each tile
+    a thin full-width strip with a uselessly wide cone.
     """
     idx = np.arange(height * width).reshape(height, width)
     blocks = (idx.reshape(height // b, b, width // b, b)
@@ -119,7 +130,8 @@ def render(scene: FlatScene, camera: cam.Camera,
     pallas = cfg.march.backend.startswith("pallas")
     blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
     if blocked:
-        perm, inv = _block_perm(cfg.height, cfg.width)
+        perm, inv = _block_perm(cfg.height, cfg.width,
+                                _auto_block(cfg.height, cfg.width))
         flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
 
     tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays
@@ -143,7 +155,8 @@ def render_with_stats(scene: FlatScene, camera: cam.Camera,
     pallas = cfg.march.backend.startswith("pallas")
     blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
     if blocked:
-        perm, inv = _block_perm(cfg.height, cfg.width)
+        perm, inv = _block_perm(cfg.height, cfg.width,
+                                _auto_block(cfg.height, cfg.width))
         flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
 
     tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays

@@ -21,7 +21,7 @@ from fraytracer_tpu import camera as cam
 from fraytracer_tpu.ops import sdf, shade
 from fraytracer_tpu.ops.march import MarchConfig, march, bound_skip_start
 from fraytracer_tpu.scene.generators import torus_csg_scene
-from fraytracer_tpu.render import _block_perm
+from fraytracer_tpu.render import _block_perm, _auto_block
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 TORI = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
@@ -57,7 +57,7 @@ def main():
 
     rays = cam.camera_rays(camera, SIZE, SIZE, 0.01, 30.0)
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
-    perm, _inv = _block_perm(SIZE, SIZE)
+    perm, _inv = _block_perm(SIZE, SIZE, _auto_block(SIZE, SIZE))
     flat = jax.tree.map(lambda x: x[perm], flat)
 
     if "march" in STAGES:
@@ -78,7 +78,7 @@ def main():
             length = jnp.minimum(r.length, t_exitv)
             t_hi = jnp.where(length > 0.0, t0v + length, t0v)
             n = r.origin.shape[0]
-            grid = n // mk.RAY_TILE
+            grid = n // mk.ray_tile()
             cones = mk._tile_cones(r.origin, r.direction, t0v, t_hi,
                                    r.epsilon, grid)
             outs = []

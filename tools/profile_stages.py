@@ -51,8 +51,8 @@ def main():
 
     rays = cam.camera_rays(camera, SIZE, SIZE, cfg.epsilon, cfg.length)
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
-    from fraytracer_tpu.render import _block_perm
-    perm, _inv = _block_perm(SIZE, SIZE)
+    from fraytracer_tpu.render import _block_perm, _auto_block
+    perm, _inv = _block_perm(SIZE, SIZE, _auto_block(SIZE, SIZE))
     flat = jax.tree.map(lambda x: x[perm], flat)
 
     TILE = 65536
@@ -118,7 +118,7 @@ def main():
         t_hi = jnp.where(miss0, t0v,
                          jnp.minimum(flat.length, t_exitv))
         n = flat.origin.shape[0]
-        grid = n // mk.RAY_TILE
+        grid = n // mk.ray_tile()
         cones = mk._tile_cones(flat.origin, flat.direction, t0v, t_hi,
                                flat.epsilon, grid)
         for (_g, kind, _ki, lo, hi) in pairs:

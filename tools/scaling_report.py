@@ -67,8 +67,10 @@ def main() -> int:
     t_shard, img_8 = _time(
         lambda: pmesh.render_sharded(scene, cam, cfg, mesh8))
 
+    # BASELINE.md correctness bar is atol 1e-5; XLA may reassociate float
+    # reductions differently under sharding (one-ulp-scale drift)
     np.testing.assert_allclose(np.asarray(img_8), np.asarray(img_1),
-                               atol=1e-6)
+                               atol=1e-5)
     print(json.dumps({
         "virtual8_sharding_overhead": round(t_shard / t_single, 4),
         "t_single_s": round(t_single, 4),
