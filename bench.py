@@ -96,16 +96,18 @@ def main() -> int:
     def _warm_kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:] * 2.0
 
-    t0 = time.perf_counter()
-    _w = pl.pallas_call(
-        _warm_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(jnp.ones((8, 128), jnp.float32))
-    float(jnp.sum(_w))
-    warmup_s = time.perf_counter() - t0
-    log(f"backend warmup {warmup_s:.1f}s")
+    warmup_s = 0.0
+    if jax.default_backend() == "tpu":
+        t0 = time.perf_counter()
+        _w = pl.pallas_call(
+            _warm_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.ones((8, 128), jnp.float32))
+        float(jnp.sum(_w))
+        warmup_s = time.perf_counter() - t0
+        log(f"backend warmup {warmup_s:.1f}s")
 
     # The render returns the image, a scalar checksum, and the marched-ray
     # count — all from ONE compiled pipeline (round 2 compiled a separate

@@ -65,18 +65,21 @@ import os as _os
 RAY_LANE = 128     # ray lanes
 
 
-def ray_sub() -> int:
+def ray_sub(interpret: bool = False) -> int:
     """Ray-tile height (sublanes): FT_RAY_SUB env override, else 32 on
-    real TPU, 8 elsewhere (interpret mode)."""
+    real TPU, 8 under interpret mode or non-TPU backends (small batches
+    pad to one tile and interpret cost scales with lanes)."""
     env = _os.environ.get("FT_RAY_SUB")
     if env:
         return int(env)
+    if interpret:
+        return 8
     import jax as _jax
     return 32 if _jax.default_backend() == "tpu" else 8
 
 
-def ray_tile() -> int:
-    return ray_sub() * RAY_LANE
+def ray_tile(interpret: bool = False) -> int:
+    return ray_sub(interpret) * RAY_LANE
 
 
 # interpret-mode (CPU) tile shape — the fixed reference point for tests
@@ -1585,7 +1588,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         length = jnp.minimum(length, t_exit)
     length = jnp.where(miss0, 0.0, length)
 
-    sub = ray_sub()
+    sub = ray_sub(interpret)
     tile = sub * RAY_LANE
     pad = (-n) % tile
     npad = n + pad
@@ -1659,8 +1662,9 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 overflow = ovf if overflow is None else (overflow | ovf)
             if sel.idx.shape[1] < m:
                 # group smaller than the chunk-rounded table: pad with
-                # duplicates of slot 0, keys at +BIG (always "ahead" →
-                # never evaluated; harmless if a chunk edge touches them)
+                # duplicates of the LAST candidate column (mode="edge"),
+                # keys at +BIG (always "ahead" → never evaluated; harmless
+                # if a chunk edge touches them — min/normalization absorb)
                 padn = m - sel.idx.shape[1]
                 sel = CandSelect(
                     jnp.pad(sel.idx, ((0, 0), (0, padn)), mode="edge"),

@@ -29,7 +29,8 @@ from ..scene.flatten import FlatScene
 from ..scene.nodes import LIGHT_DIRECTIONAL, LIGHT_POINT
 from ..types import Rays, SurfaceHit, dot, normalize
 from . import sdf
-from .march import MarchConfig, march, march_occlusion, march_surface
+from .march import (MarchConfig, march, march_occlusion,
+                    march_surface, occlusion_compacted)
 
 Array = jax.Array
 
@@ -153,7 +154,10 @@ def shade_with_stats(scene: FlatScene, rays: Rays, hit: SurfaceHit,
             length=jnp.where(facing, budget, 0.0),
             epsilon=rays.epsilon,
         )
-        occluded = march_occlusion(scene, shadow_rays, cfg)
+        if cfg.shadow_compact and cfg.backend.startswith("pallas"):
+            occluded = occlusion_compacted(scene, shadow_rays, facing, cfg)
+        else:
+            occluded = march_occlusion(scene, shadow_rays, cfg)
         n_shadow = n_shadow + jnp.sum(facing.astype(jnp.float32))
         contrib = (scene.light_color[i] * scale[..., None]
                    * cos[..., None])

@@ -113,7 +113,26 @@ def build_distance(node: N.SdfNode) -> Callable[[Vec], float]:
             return lambda q: float(q @ n) - off
         raise ValueError(k)
     if isinstance(node, N.Union):
-        fns = [build_distance(c) for c in node.children]
+        # vectorized fast path for large homogeneous prim groups (the
+        # benchmark's 1000-torus union): one float64 NumPy evaluation over
+        # a [K, P] parameter matrix instead of K scalar closures.  Same
+        # math, still fully independent of the JAX path — this is what
+        # makes the 64² end-to-end gate on the 1000-torus scene tractable.
+        by_kind: dict = {}
+        rest = []
+        for c in node.children:
+            if isinstance(c, N.Prim):
+                by_kind.setdefault(c.kind, []).append(c)
+            else:
+                rest.append(c)
+        fns = [build_distance(c) for c in rest]
+        for kind, prims in by_kind.items():
+            if len(prims) >= 32:
+                fns.append(_vector_min_distance(kind, prims))
+            else:
+                fns.extend(build_distance(p) for p in prims)
+        if len(fns) == 1:
+            return fns[0]
         return lambda q: min(f(q) for f in fns)
     if isinstance(node, N.SmoothUnion):
         fns = [build_distance(c) for c in node.children]
@@ -132,6 +151,60 @@ def build_distance(node: N.SdfNode) -> Callable[[Vec], float]:
         fa, fb = build_distance(node.a), build_distance(node.b)
         return lambda q: max(fa(q), -fb(q))
     raise TypeError(node)
+
+
+def _vector_all_distances(kind: str, params: np.ndarray):
+    """float64 NumPy distances of one point to ALL primitives of one kind:
+    ``q [3] → d [K]``.  Used by the vectorized union fast path and the
+    vectorized material argmin."""
+    if kind == "sphere":
+        c, r = params[:, 0:3], params[:, 3]
+        return lambda q: np.sqrt(((q - c) ** 2).sum(-1)) - r
+    if kind == "torus":
+        c, n = params[:, 0:3], params[:, 3:6]
+        n = n / np.sqrt((n * n).sum(-1, keepdims=True))
+        R, r = params[:, 6], params[:, 7]
+
+        def d_tori(q, c=c, n=n, R=R, r=r):
+            qq = q[None, :] - c                      # [K, 3]
+            h = (qq * n).sum(-1)                     # [K]
+            radial = np.sqrt(np.maximum(
+                (qq * qq).sum(-1) - h * h, 0.0)) - R
+            return np.sqrt(h * h + radial * radial) - r
+        return d_tori
+    if kind == "capsule":
+        a, b, r = params[:, 0:3], params[:, 3:6], params[:, 6]
+        ba = b - a
+        denom = np.maximum((ba * ba).sum(-1), 1e-300)
+
+        def d_caps(q, a=a, ba=ba, r=r, denom=denom):
+            pa = q[None, :] - a
+            h = np.clip((pa * ba).sum(-1) / denom, 0.0, 1.0)
+            e = pa - h[:, None] * ba
+            return np.sqrt((e * e).sum(-1)) - r
+        return d_caps
+    if kind == "box":
+        c, half, r = params[:, 0:3], params[:, 3:6], params[:, 6]
+
+        def d_boxes(p_, c=c, half=half, r=r):
+            q = np.abs(p_[None, :] - c) - half
+            outside = np.sqrt((np.maximum(q, 0.0) ** 2).sum(-1))
+            inside = np.minimum(q.max(-1), 0.0)
+            return outside + inside - r
+        return d_boxes
+    # remaining kinds (triangle, cone, plane) fall back to scalar closures
+    return None
+
+
+def _vector_min_distance(kind: str, prims):
+    """min-over-group distance closure, vectorized when the kind supports
+    it, else a scalar loop."""
+    params = np.stack([np.asarray(p.params, np.float64) for p in prims])
+    vec = _vector_all_distances(kind, params)
+    if vec is not None:
+        return lambda q: float(vec(q).min())
+    fns = [build_distance(p) for p in prims]
+    return lambda q: min(f(q) for f in fns)
 
 
 def collect_material_prims(node: N.SdfNode):
@@ -167,6 +240,24 @@ class Oracle:
         self.distance = build_distance(scene.root)
         self.mat_prims = collect_material_prims(scene.root)
         self.grad_h = grad_h
+        # vectorized material argmin (kind-major groups, first-min ties —
+        # identical winner to the scalar loop below)
+        self._mat_groups = []
+        i = 0
+        prims = [p for (p, _f) in self.mat_prims]
+        while i < len(prims):
+            j = i
+            while j < len(prims) and prims[j].kind == prims[i].kind:
+                j += 1
+            group = prims[i:j]
+            params = np.stack([np.asarray(p.params, np.float64)
+                               for p in group])
+            vec = _vector_all_distances(group[0].kind, params)
+            albs = np.stack([np.asarray(p.material.albedo, np.float64)
+                             for p in group])
+            self._mat_groups.append(
+                (vec, [f for (_p, f) in self.mat_prims[i:j]], albs))
+            i = j
 
     # -- geometry ----------------------------------------------------------
 
@@ -215,11 +306,15 @@ class Oracle:
         if not self.mat_prims:
             return np.ones(3)
         best, alb = math.inf, np.ones(3)
-        for prim, fn in self.mat_prims:
-            d = fn(p)
-            if d < best:
-                best = d
-                alb = np.asarray(prim.material.albedo, np.float64)
+        for vec, fns, albs in self._mat_groups:
+            if vec is not None:
+                ds = vec(p)
+            else:
+                ds = np.array([f(p) for f in fns])
+            w = int(np.argmin(ds))          # first minimum within the group
+            if ds[w] < best:                # strict < keeps earlier groups
+                best = float(ds[w])
+                alb = albs[w]
         return alb
 
     # -- shading (SdfScene.fs:7-28, SdfLight.fs) ---------------------------

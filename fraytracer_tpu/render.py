@@ -95,6 +95,10 @@ def _auto_block(height: int, width: int) -> int:
     narrow as possible."""
     from .ops.pallas.march_kernel import ray_tile
     b = max(32, int(ray_tile() ** 0.5))
+    # round down to a power of two so the halving loop can always reach a
+    # divisor of power-of-two image sizes (non-square FT_RAY_SUB overrides
+    # would otherwise degrade 45 -> 2 for 1024-px images)
+    b = 1 << (b.bit_length() - 1)
     while height % b or width % b:
         b //= 2
     return max(b, 1)

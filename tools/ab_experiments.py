@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""A/B throughput experiments on the benchmark scene (run on TPU).
+
+Times each variant with K chained async dispatches and ONE readback, so the
+tunneled backend's fixed per-dispatch/readback latency (~24 ms measured on
+axon) is amortized out and the numbers reflect device time.
+
+Usage: python tools/ab_experiments.py [exp1,exp2,...]
+Experiments: pipeline, compact, omega, clamp, trace
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import dataclasses
+
+import fraytracer_tpu as ft
+from fraytracer_tpu import camera as cam
+from fraytracer_tpu.ops import shade
+from fraytracer_tpu.ops.march import MarchConfig, march
+from fraytracer_tpu.scene.generators import torus_csg_scene
+from fraytracer_tpu.render import _block_perm, _auto_block
+
+SIZE = int(os.environ.get("AB_SIZE", "1024"))
+TORI = int(os.environ.get("AB_TORI", "1000"))
+EXPS = (sys.argv[1].split(",") if len(sys.argv) > 1
+        else ["pipeline", "compact"])
+K = int(os.environ.get("AB_K", "8"))
+
+
+def timed_k(name, fn, *args, k=K):
+    """Compile, then time k chained dispatches + one readback."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+    compile_s = time.perf_counter() - t0
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        best = min(best, (time.perf_counter() - t0) / k)
+    print(f"{name:44s} {best*1e3:9.2f} ms/call (k={k}, compile {compile_s:.1f}s)",
+          flush=True)
+    return best
+
+
+def main():
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=TORI))
+    camera = ft.look_at((0.0, 0.0, -10.0), (0.0, 0.0, 0.0),
+                        fov_degrees=60.0)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    base = MarchConfig(max_steps=192, bound_skip=True, backend=backend,
+                       relax_omega=1.4)
+    print(f"backend={backend} size={SIZE} tori={TORI} K={K}", flush=True)
+
+    rays = cam.camera_rays(camera, SIZE, SIZE, 0.01, 30.0)
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+    perm, _inv = _block_perm(SIZE, SIZE, _auto_block(SIZE, SIZE))
+    flat = jax.tree.map(lambda x: x[perm], flat)
+
+    if "pipeline" in EXPS:
+        # does chaining dispatches amortize the per-call floor?
+        march_j = jax.jit(lambda s, r: march(s, r, base))
+        timed_k("march k=1 (RTT incl.)", march_j, scene, flat, k=1)
+        timed_k("march k=8 (RTT amortized)", march_j, scene, flat, k=8)
+
+    if "compact" in EXPS:
+        for flag in (False, True):
+            cfg = dataclasses.replace(base, shadow_compact=flag)
+            tr = jax.jit(lambda s, r, cfg=cfg: shade.trace(s, r, cfg))
+            timed_k(f"full trace shadow_compact={flag}", tr, scene, flat)
+
+    if "omega" in EXPS:
+        for om in (1.2, 1.4, 1.6, 1.8):
+            cfg = dataclasses.replace(base, relax_omega=om)
+            tr = jax.jit(lambda s, r, cfg=cfg: shade.trace(s, r, cfg))
+            timed_k(f"full trace omega={om}", tr, scene, flat)
+
+    if "clamp" in EXPS:
+        for cl in (0.5, 0.25, 0.125):
+            cfg = dataclasses.replace(base, cull_window_clamp=cl)
+            tr = jax.jit(lambda s, r, cfg=cfg: shade.trace(s, r, cfg))
+            timed_k(f"full trace clamp={cl}", tr, scene, flat)
+
+    if "trace" in EXPS:
+        tr = jax.jit(lambda s, r: shade.trace(s, r, base))
+        timed_k("full trace (base cfg)", tr, scene, flat)
+
+    if "stages" in EXPS:
+        from fraytracer_tpu.ops.march import march_surface, march_occlusion
+        march_j = jax.jit(lambda s, r: march(s, r, base))
+        timed_k("march only", march_j, scene, flat)
+        surf_j = jax.jit(lambda s, r: march_surface(s, r, base))
+        timed_k("march+surface", surf_j, scene, flat)
+        res = march_j(scene, flat)
+        pos = flat.at(res.t - flat.epsilon)
+
+        def shadow(s, pos, hit, li):
+            ldir, budget, _ = shade.light_dir_and_dist(s, li, pos)
+            sr = ft.types.Rays(origin=pos, direction=ldir,
+                               length=jnp.where(hit, budget, 0.0),
+                               epsilon=jnp.full(pos.shape[:-1], 0.01))
+            return march_occlusion(s, sr, base)
+        timed_k("shadow light0 (dir, uncompacted)",
+                jax.jit(lambda s, p, h: shadow(s, p, h, 0)),
+                scene, pos, res.hit)
+        timed_k("shadow light1 (point, uncompacted)",
+                jax.jit(lambda s, p, h: shadow(s, p, h, 1)),
+                scene, pos, res.hit)
+        from fraytracer_tpu.ops.march import occlusion_compacted
+
+        def shadow_c(s, pos, hit, li):
+            ldir, budget, _ = shade.light_dir_and_dist(s, li, pos)
+            sr = ft.types.Rays(origin=pos, direction=ldir,
+                               length=jnp.where(hit, budget, 0.0),
+                               epsilon=jnp.full(pos.shape[:-1], 0.01))
+            return occlusion_compacted(s, sr, hit, base)
+        timed_k("shadow light0 (dir, compacted)",
+                jax.jit(lambda s, p, h: shadow_c(s, p, h, 0)),
+                scene, pos, res.hit)
+        timed_k("shadow light1 (point, compacted)",
+                jax.jit(lambda s, p, h: shadow_c(s, p, h, 1)),
+                scene, pos, res.hit)
+
+
+if __name__ == "__main__":
+    main()

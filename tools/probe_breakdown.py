@@ -80,7 +80,7 @@ def main():
             n = r.origin.shape[0]
             grid = n // mk.ray_tile()
             cones = mk._tile_cones(r.origin, r.direction, t0v, t_hi,
-                                   r.epsilon, grid)
+                                   r.epsilon, grid, tile=mk.ray_tile())
             outs = []
             pairs = mk._cull_pairs(s.kind_counts, s.plan, mcfg.cull_threshold)
             for (_g, kind, _ki, lo, hi) in pairs:

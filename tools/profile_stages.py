@@ -120,12 +120,12 @@ def main():
         n = flat.origin.shape[0]
         grid = n // mk.ray_tile()
         cones = mk._tile_cones(flat.origin, flat.direction, t0v, t_hi,
-                               flat.epsilon, grid)
+                               flat.epsilon, grid, tile=mk.ray_tile())
         for (_g, kind, _ki, lo, hi) in pairs:
             kp = scene.prim_params[kind][lo:hi]
             kb = sdf._prim_bound_rows(kind, kp)
-            _idx, count = mk._cone_candidates(kb, *cones, 128)
-            c = np.asarray(count)
+            sel = mk._cone_candidates(kb, cones, 128)
+            c = np.asarray(sel.count)
             print(f"  cull[{kind}]: candidates/tile mean {c.mean():.1f} "
                   f"p50 {np.percentile(c, 50):.0f} p90 {np.percentile(c, 90):.0f} "
                   f"max {c.max()} overflow>{128}: {(c > 128).mean():.3f}")
