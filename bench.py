@@ -39,8 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent compile cache: repeat bench runs skip XLA compilation (the
-# remote TPU compile service adds minutes of latency and jitter).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+# remote TPU compile service adds minutes of latency and jitter).  Whether
+# the cache was already warm is recorded in the JSON (compile_cache_hit)
+# so compile_time_s cannot be misread as a fresh-compile number.
+_CACHE_DIR = "/tmp/jax_compile_cache"
+_CACHE_WARM = os.path.isdir(_CACHE_DIR) and bool(os.listdir(_CACHE_DIR))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TARGET_RAYS_PER_SEC = 1.0e9  # BASELINE.md target (no published reference num)
@@ -127,16 +131,32 @@ def main() -> int:
     compile_s = time.perf_counter() - t0
     log(f"fwd compile {compile_s:.1f}s")
 
-    times = []
+    # Two timings:
+    # * single-dispatch: one render + one scalar readback.  On this
+    #   environment's tunneled backend that includes a fixed ~20-25 ms
+    #   dispatch/readback round trip that is NOT device time.
+    # * sustained (the headline): K renders dispatched back-to-back
+    #   (JAX async dispatch pipelines them on-device), ONE readback at the
+    #   end, divided by K — the steady-state per-frame cost a real
+    #   rendering/fitting loop pays.  Both are reported.
+    K = 8
+    times_single, times_k = [], []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         img, checksum, n_rays_dev = render(scene, camera)
         float(checksum)
-        times.append(time.perf_counter() - t0)
-        log(f"fwd repeat {times[-1]*1e3:.1f}ms")
-    fwd_s = min(times)
+        times_single.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            img, checksum, n_rays_dev = render(scene, camera)
+        float(checksum)
+        times_k.append((time.perf_counter() - t0) / K)
+        log(f"fwd single {times_single[-1]*1e3:.1f}ms "
+            f"sustained {times_k[-1]*1e3:.1f}ms")
+    fwd_single_s = min(times_single)
+    fwd_s = min(times_k)
     n_rays = float(n_rays_dev)
-    log(f"n_rays={n_rays:.0f}, fwd={fwd_s*1e3:.1f}ms")
+    log(f"n_rays={n_rays:.0f}, fwd={fwd_s*1e3:.1f}ms (sustained)")
     rays_per_sec = n_rays / fwd_s
 
     n_primary = float(args.size * args.size)
@@ -154,7 +174,12 @@ def main() -> int:
         "n_rays_primary": n_primary,
         "rays_per_sec_primary_only": n_primary / fwd_s,
         "fwd_time_s": fwd_s,
+        "fwd_time_single_dispatch_s": fwd_single_s,
+        "timing_method": f"best of {args.repeats} rounds of {K} chained "
+                         "dispatches, one readback (dispatch RTT "
+                         "amortized); single-dispatch time also reported",
         "compile_time_s": round(compile_s, 2),
+        "compile_cache_hit": _CACHE_WARM,
         "backend_warmup_s": round(warmup_s, 2),
         "compile_budget_s": 120.0,
         "compile_budget_ok": bool(compile_s <= 120.0),
@@ -162,6 +187,69 @@ def main() -> int:
         "device": str(jax.devices()[0]),
     }
     emit(result)  # ← headline is now safe whatever happens below
+
+    if jax.default_backend() == "tpu" and not over_budget():
+        # real-TPU numerics gate (VERDICT r3 #6): the compiled Mosaic
+        # kernels vs the jnp while_loop march, in-process (shares the warm
+        # backend + compile cache)
+        import pytest as _pytest
+        rc = _pytest.main(["-q", "-x", "--no-header", "-p", "no:cacheprovider",
+                           os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)),
+                               "tools", "test_tpu_parity.py")])
+        result["tpu_parity_ok"] = bool(rc == 0)
+        emit(result)
+
+    if not over_budget():
+        # roofline (VERDICT r3 #2): measured candidate-eval work of the
+        # primary march from the kernel's own window-width counters
+        import dataclasses as _dc
+        from fraytracer_tpu import camera as _cam
+        from fraytracer_tpu.ops.march import march as _march
+        from fraytracer_tpu.ops.pallas.march_kernel import ray_tile
+        from fraytracer_tpu.render import _auto_block, _block_perm
+        try:
+            rays = _cam.camera_rays(camera, args.size, args.size, 0.01, 30.0)
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+            perm, _ = _block_perm(args.size, args.size,
+                                  _auto_block(args.size, args.size))
+            flat = jax.tree.map(lambda x: x[perm], flat)
+            mw = _dc.replace(cfg.march, debug_window_stats=True)
+            res_w = jax.jit(lambda s, r: _march(s, r, mw))(scene, flat)
+            march_j = jax.jit(lambda s, r: _march(s, r, cfg.march))
+            res_s = march_j(scene, flat)
+            jax.block_until_ready((res_w, res_s))
+            t0 = time.perf_counter()
+            for _ in range(K):
+                res_s = march_j(scene, flat)
+            float(jnp.sum(res_s.t))
+            t_march = (time.perf_counter() - t0) / K
+            tile = ray_tile()
+            wsum = np.asarray(res_w.steps).reshape(-1, tile)[:, 0]
+            tile_steps = np.asarray(res_s.steps).reshape(-1, tile).max(1)
+            # each width unit = one candidate distance eval over every
+            # lane of the tile; prepped torus eval ≈ 28 f32 VPU ops
+            FLOPS_PER_EVAL = 28.0
+            VPU_PEAK = 3.85e12   # v5e: 8x128 lanes x 4 ALUs x 0.94 GHz
+            total_evals = float(wsum.sum()) * tile
+            march_flops = total_evals * FLOPS_PER_EVAL
+            n_prim_rays = float(flat.origin.shape[0])
+            result["roofline"] = {
+                "march_time_s": t_march,
+                "window_width_mean": float(wsum.sum()
+                                           / max(tile_steps.sum(), 1)),
+                "tile_steps_mean": float(tile_steps.mean()),
+                "candidate_evals_per_ray": total_evals / n_prim_rays,
+                "flops_per_ray_march": march_flops / n_prim_rays,
+                "vpu_util_march": march_flops / max(t_march, 1e-9)
+                / VPU_PEAK,
+                "vpu_peak_flops": VPU_PEAK,
+                "sol_march_ms_at_peak": march_flops / VPU_PEAK * 1e3,
+            }
+            emit(result)
+        except Exception as e:  # never fail the bench over the roofline
+            log(f"roofline skipped: {type(e).__name__}: {e}")
 
     if not args.no_bwd and not over_budget():
         # fwd+bwd wall time: grad of L2-vs-zero image loss w.r.t. all scene

@@ -90,6 +90,10 @@ class MarchConfig:
     # CSG-aware material argmin inside the march kernel instead of a
     # second dense pass over the scene.
     fuse_surface: bool = True
+    # Report the per-tile summed candidate-window width in the march's
+    # ``steps`` output instead of per-lane eval counts (bench roofline /
+    # profiling instrumentation; forces a kernel variant recompile).
+    debug_window_stats: bool = False
     # Shadow-lane compaction (pallas backend): pack active (facing-hit)
     # shadow rays to the front of the batch before the occlusion march so
     # trailing all-inactive tiles exit their while_loop immediately.

@@ -98,8 +98,9 @@ CAND_UNROLL = int(_os.environ.get("FT_CAND_UNROLL", "8"))
 SCALAR_CAND = bool(int(_os.environ.get("FT_SCALAR_CAND", "0")))
 # disable the running-min early-out (A/B experiments)
 NO_EARLYOUT = bool(int(_os.environ.get("FT_NO_EARLYOUT", "0")))
-# dev switch (tools/probe_*): report the summed per-step window width in
-# the steps output instead of the iteration count
+# dev switch (tools/probe_*, bench roofline): report the summed per-step
+# window width in the steps output instead of the iteration count; also
+# reachable per-call via MarchConfig.debug_window_stats
 DEBUG_WINDOW_STATS = bool(int(_os.environ.get("FT_WINDOW_STATS", "0")))
 _BIG = 3.0e38
 
@@ -543,47 +544,52 @@ def _cone_candidates(bounds: Array, cones: TileCones,
 # Kernel builder
 # ---------------------------------------------------------------------------
 
-def _pair_window(keys_ref, cos_lo, clamp, t, oa, lane_mask, slots: int):
-    """Per-step axial candidate window for one culled pair.
+def _pair_window(keys_ref, ca, clamp, t, oa, lane_mask, chunks: int):
+    """Per-step axial candidate window for one culled pair, at CAND_UNROLL
+    chunk granularity.
 
     Every ray point's axial coordinate (along the tile cone axis, from
-    the apex) is exactly ``p_ax = oa + τ·cosd`` with ``oa`` the lane's
-    origin offset (kernel input — exact per lane, so shadow tiles with
-    spread origins get windows as tight as pinhole camera tiles) and
-    ``cosd ∈ [cos_lo, 1]``.  Per step the live axial range is
+    the apex) is computed EXACTLY per lane: ``p_ax = oa + τ·ca`` with
+    ``oa`` the lane's origin offset and ``ca = d·axis`` the lane's own
+    direction cosine (both kernel inputs) — valid for any direction
+    distribution, including the divergent/backward lanes of shadow tiles.
+    Per step the live axial range is
 
-        plo = min over active lanes of (oa + τ·cos_lo)   ≤ any p_ax
-        phi = max over active lanes of (oa + τ)          ≥ any p_ax
+        plo = min over active lanes of p_ax
+        phi = max over active lanes of p_ax
 
-    Soundness (clamp > epsilon everywhere):
+    ``keys_ref [1, 2, C]`` holds per-chunk extremes of the candidate
+    axial keys: row 0 = max over the chunk of (a + r) = ``lo_c``, row 1 =
+    min over the chunk of (a − r) = ``hi_c`` (evaluation is chunk-granular
+    anyway, so chunk-level windows lose nothing and cost 1/CAND_UNROLL of
+    the per-candidate bookkeeping).  Soundness (clamp > epsilon
+    everywhere):
 
-    * behind: ``lo_key = a + r < plo - clamp`` ⇒ the candidate is > clamp
-      from every active point; per lane further bounded by
-      ``(oa + τ·cos_lo) - BH``;
-    * ahead: ``hi_key = a - r > phi + clamp`` ⇒ > clamp away, per lane
-      bounded by ``AH - (oa + τ)``.
+    * behind chunk: ``lo_c < plo - clamp`` ⇒ every candidate in it has
+      ``a + r < p_ax - clamp`` for every active lane ⇒ distance > clamp;
+      per lane further bounded below by ``p_ax - BH``;
+    * ahead chunk: ``hi_c > phi + clamp`` ⇒ distance > clamp; per lane
+      bounded below by ``AH - p_ax``.
 
     The march steps by ``min(window min, cap)`` — never more than the true
     scene distance, and a skipped primitive can never be within epsilon
     (clamp ≥ 8·epsilon), so hits and misses are exactly those of the
-    unpruned march.  ``cos_lo``/``clamp`` are per-tile invariants, read
-    from the SMEM misc table once in the kernel prologue and passed in.
+    unpruned march.  Returns chunk-granular ``(w_lo, w_hi, cap, phi)``.
     """
-    lo_k = keys_ref[0, 0:1, :]                         # (1, M)
-    hi_k = keys_ref[0, 1:2, :]
-    p_lo_lane = oa + t * cos_lo
-    p_hi_lane = oa + t
-    plo = jnp.min(jnp.where(lane_mask, p_lo_lane, _BIG))
-    phi = jnp.max(jnp.where(lane_mask, p_hi_lane, -_BIG))
-    behind = lo_k < plo - clamp
-    ahead = hi_k > phi + clamp
+    lo_c = keys_ref[0, 0:1, :]                         # (1, C)
+    hi_c = keys_ref[0, 1:2, :]
+    p_ax = oa + t * ca
+    plo = jnp.min(jnp.where(lane_mask, p_ax, _BIG))
+    phi = jnp.max(jnp.where(lane_mask, p_ax, -_BIG))
+    behind = lo_c < plo - clamp
+    ahead = hi_c > phi + clamp
     rel = jnp.logical_not(behind) & jnp.logical_not(ahead)
-    idxv = jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1)
-    w_lo = jnp.min(jnp.where(rel, idxv, slots))
+    idxv = jax.lax.broadcasted_iota(jnp.int32, (1, chunks), 1)
+    w_lo = jnp.min(jnp.where(rel, idxv, chunks))
     w_hi = jnp.max(jnp.where(rel, idxv + 1, 0))
-    BH = jnp.max(jnp.where(behind, lo_k, -_BIG))
-    AH = jnp.min(jnp.where(ahead, hi_k, _BIG))
-    cap = jnp.minimum(AH - p_hi_lane, p_lo_lane - BH)
+    BH = jnp.max(jnp.where(behind, lo_c, -_BIG))
+    AH = jnp.min(jnp.where(ahead, hi_c, _BIG))
+    cap = jnp.minimum(AH - p_ax, p_ax - BH)
     return w_lo, w_hi, cap, phi
 
 
@@ -600,7 +606,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   max_steps: int, prim_chunk: int,
                   cull_pairs: Tuple = (), cull_m: int = 0,
                   omega: float = 1.0, mode: str = "march",
-                  mat_vis: Tuple[int, ...] = (), has_sign: bool = False):
+                  mat_vis: Tuple[int, ...] = (), has_sign: bool = False,
+                  debug_window: bool = False):
     """Build the pallas kernel fn for a scene structure.  Cached.
 
     ``mode`` selects the program: ``"march"`` = the sphere-trace loop
@@ -745,24 +752,25 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- march-time scene distance --------------------------------------
 
     def scene_distance(param_refs, gid_ref, pair_refs, pair_consts,
-                       dense_consts, px, py, pz, t, oa, active):
+                       dense_consts, px, py, pz, t, oa, ca, active):
         shp = px.shape
         accs = accs_init(shp)
         wwidth = []  # per-pair window widths this step (debug stats)
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
             cand_ref, keys_ref, _misc_ref, hsuf_ref = pair_refs[pi]
-            cos_lo, clamp = pair_consts[pi][0], pair_consts[pi][1]
+            clamp = pair_consts[pi][1]
             P = PARAM_WIDTH[kind]
             fn = _scalar_fn(kind, prepped=True)
             vfn = _vec_fn(kind, prepped=True)
             m = pair_m[pi]
 
             def culled_pass(_, cand_ref=cand_ref, keys_ref=keys_ref,
-                            hsuf_ref=hsuf_ref, cos_lo=cos_lo, clamp=clamp,
+                            hsuf_ref=hsuf_ref, clamp=clamp,
                             fn=fn, vfn=vfn, P=P, m=m):
-                w_lo, w_hi, cap, phi = _pair_window(
-                    keys_ref, cos_lo, clamp, t, oa, active > 0.0, m)
+                w_lo, cb_hi, cap, phi = _pair_window(
+                    keys_ref, ca, clamp, t, oa, active > 0.0,
+                    m // CAND_UNROLL)
                 # running-min early-out (the reference's sorted
                 # nearest-first union scan, SdfForm.fs:22-34 +
                 # SdfBoundary.fs:266-268): stop the ascending axial scan
@@ -774,7 +782,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # per-chunk suffix-min) the scan can stop when
                 # max_lanes(acc + p_hi) <= H_cb — the group min is EXACTLY
                 # unchanged, like the reference's lower-bound skip.
-                stop_ref = phi   # max over active lanes of (oa + t)
+                stop_ref = phi   # max over active lanes of p_ax
 
                 def wcond(carry):
                     cb, acc, amax = carry
@@ -782,8 +790,6 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         return cb < cb_hi
                     return jnp.logical_and(
                         cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cb])
-
-                cb_hi = (w_hi + CAND_UNROLL - 1) // CAND_UNROLL
 
                 if SCALAR_CAND:
                     def wbody(carry):
@@ -807,9 +813,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
                 _cb, win, _am = jax.lax.while_loop(
                     wcond, wbody,
-                    (w_lo // CAND_UNROLL, jnp.full(shp, _BIG),
-                     jnp.float32(_BIG)))
-                width = jnp.maximum(w_hi - w_lo, 0).astype(jnp.float32)
+                    (w_lo, jnp.full(shp, _BIG), jnp.float32(_BIG)))
+                width = (jnp.maximum(cb_hi - w_lo, 0)
+                         * CAND_UNROLL).astype(jnp.float32)
                 return jnp.minimum(win, cap), width
 
             # overflow (count > m) is handled host-side by a lax.cond dense
@@ -861,7 +867,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     def surface_eval_slot(param_refs, gid_ref, mat_ref, pair_refs,
                           pair_consts, dense_consts, px, py, pz, t, oa,
-                          hitm):
+                          ca, hitm):
         """Slot-mode surface pass: CSG min/max selects exactly one leaf, so
         track the winning leaf's signed slot code through the plan tree,
         then recover its gradient with ONE masked-cotangent vjp sweep over
@@ -1115,7 +1121,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- surface pass (AD mode): value + gradient + material -------------
 
     def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
-                     dense_consts, px, py, pz, t, oa, hitm):
+                     dense_consts, px, py, pz, t, oa, ca, hitm):
         """At the (backed-off) hit points: per-group (value, ∇value) plus
         the global material argmin over material-visible primitives.
         Window bounds come from the hit lanes' t-range; the window clamp
@@ -1162,7 +1168,6 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
             cand_ref, keys_ref, _misc_ref, _hsuf_ref = pair_refs[pi]
-            cos_lo = pair_consts[pi][0]
             surf_clamp = pair_consts[pi][2]
             count = pair_consts[pi][3]
             P = PARAM_WIDTH[kind]
@@ -1171,13 +1176,14 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             g_op = groups[gid].op
 
             def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
-                          cos_lo=cos_lo, surf_clamp=surf_clamp,
+                          surf_clamp=surf_clamp,
                           count=count, fn=fn, P=P, m=m, gid=gid):
                 # normal window margin: the hit shell only (8·eps, misc
                 # col 3) — far narrower than the march clamp; the argmin
                 # the normal depends on is within epsilon of a hit
                 w_lo, w_hi, cap, _phi = _pair_window(
-                    keys_ref, cos_lo, surf_clamp, t, oa, hitm, m)
+                    keys_ref, ca, surf_clamp, t, oa, hitm,
+                    m // CAND_UNROLL)
 
                 def body(cb, carry):
                     c0 = cb * CAND_UNROLL
@@ -1213,9 +1219,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 init = (jnp.full(shp, _BIG), jnp.zeros(shp),
                         jnp.zeros(shp), jnp.ones(shp))
                 bd, bgx, bgy, bgz = jax.lax.fori_loop(
-                    w_lo // CAND_UNROLL,
-                    (w_hi + CAND_UNROLL - 1) // CAND_UNROLL,
-                    body, init)
+                    w_lo, w_hi, body, init)
                 capped = cap < bd
                 bd = jnp.where(capped, cap, bd)
                 bgx = jnp.where(capped, 0.0, bgx)
@@ -1359,7 +1363,10 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- the kernels -----------------------------------------------------
 
     has_oa = n_pairs > 0
-    n_ray = 9 + int(has_sign and mode == "march") + int(has_oa)
+    # culled scenes add TWO per-lane axial inputs: oa = (o-apex)·axis and
+    # ca = d·axis — together they give the kernel the EXACT per-lane axial
+    # coordinate p_ax = oa + t·ca (see _pair_window)
+    n_ray = 9 + int(has_sign and mode == "march") + 2 * int(has_oa)
 
     def _unpack(refs):
         """Common tail unpack: params/gid/mat/pair tables + outputs.
@@ -1393,6 +1400,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         """One-shot surface pass at given (t, hit) points."""
         (ox, oy, oz, dxr, dyr, dzr, tt, ep, hitref) = refs[:9]
         oa = refs[9][:, :] if has_oa else None
+        ca = refs[10][:, :] if has_oa else None
         (param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
          dense_consts, outs) = _unpack(refs)
         t = tt[:, :]
@@ -1406,7 +1414,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         ev = surface_eval_slot if slot_mode else surface_eval
         gx, gy, gz, ms = ev(param_refs, gid_ref, mat_ref, pair_refs,
                             pair_consts, dense_consts,
-                            px, py, pz, t, oa, hitm)
+                            px, py, pz, t, oa, ca, hitm)
         inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
         nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
         ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
@@ -1426,6 +1434,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             sgn = refs[k][:, :]
             k += 1
         oa = refs[k][:, :] if has_oa else None
+        ca = refs[k + 1][:, :] if has_oa else None
         (param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
          dense_consts, outs) = _unpack(refs)
         if occl:
@@ -1448,7 +1457,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             pz = origin[2] + t * direc[2]
             d, w = scene_distance(param_refs, gid_ref, pair_refs,
                                   pair_consts, dense_consts,
-                                  px, py, pz, t, oa, active)
+                                  px, py, pz, t, oa, ca, active)
             # per-lane sign: -1 marches *inside* the solid toward the exit
             # surface (refraction transmission).  Sound under the window
             # cap: a containing primitive's bound always contains the
@@ -1536,7 +1545,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         if not occl:
             t_out[:, :] = t
             d_out[:, :] = d
-        if DEBUG_WINDOW_STATS:
+        if debug_window or DEBUG_WINDOW_STATS:
             steps_out[:, :] = jnp.full(length.shape, wsum, jnp.float32) \
                 .astype(jnp.int32)
         else:
@@ -1619,7 +1628,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         scene.kind_counts, scene.plan, cfg.max_steps, PRIM_CHUNK,
         pairs, cull_m, cfg.relax_omega,
         "occlusion" if occlusion else "march", mat_vis,
-        has_sign=sign is not None)
+        has_sign=sign is not None,
+        debug_window=getattr(cfg, "debug_window_stats", False))
     sign_in = [pad1(sign, 1.0)] if sign is not None else []
 
     # per-tile candidate tables + axial window keys for each culled pair
@@ -1637,13 +1647,19 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
         cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid,
                             tile)
-        # per-lane exact axial origin offset (o - apex)·axis — the kernel's
-        # per-step windows use it instead of tile-wide bounds, so origin
-        # spread (shadow tiles!) doesn't widen the windows
-        oa_in = [jnp.sum(
-            (origin_p.reshape(grid, tile, 3) - cones.apex[:, None, :])
-            * cones.axis[:, None, :], axis=-1
-        ).reshape(npad // RAY_LANE, RAY_LANE)]
+        # per-lane exact axial coordinates: origin offset (o - apex)·axis
+        # plus direction cosine d·axis — the kernel's per-step windows use
+        # p_ax = oa + t·ca exactly per lane, so neither origin spread nor
+        # direction divergence (shadow tiles!) widens the windows
+        oa_in = [
+            jnp.sum((origin_p.reshape(grid, tile, 3)
+                     - cones.apex[:, None, :])
+                    * cones.axis[:, None, :], axis=-1
+                    ).reshape(npad // RAY_LANE, RAY_LANE),
+            jnp.sum(dir_p.reshape(grid, tile, 3)
+                    * cones.axis[:, None, :], axis=-1
+                    ).reshape(npad // RAY_LANE, RAY_LANE),
+        ]
         # skipped-candidate distance floor: must exceed the hit shell
         clamp_eff = jnp.maximum(jnp.float32(cfg.cull_window_clamp),
                                 8.0 * cones.eps_max)              # [G]
@@ -1685,7 +1701,13 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                  jnp.asarray(slots_np)[sel.idx][..., None]],  # global slot
                 axis=-1)
             pw = table.shape[-1]
-            keys = jnp.stack([sel.lo_key, sel.hi_key], axis=1)
+            # chunk-granular window keys (see _pair_window): per
+            # CAND_UNROLL chunk, the max far edge and min near edge
+            lo_c = jnp.max(sel.lo_key.reshape(grid, -1, CAND_UNROLL),
+                           axis=-1)
+            hi_c = jnp.min(sel.hi_key.reshape(grid, -1, CAND_UNROLL),
+                           axis=-1)
+            keys = jnp.stack([lo_c, hi_c], axis=1)   # [G, 2, m/CU]
             # per-tile invariants, one SMEM row: count, cos_lo, march
             # window clamp, surface window margin (hit shell only).
             # Leading unit axis: Pallas requires the LAST TWO block dims
@@ -1705,7 +1727,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             cull_specs.append(pl.BlockSpec(
                 (m, pw), lambda i: (i, 0), memory_space=table_space))
             cull_specs.append(pl.BlockSpec(
-                (1, 2, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+                (1, 2, m // CAND_UNROLL), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM))
             cull_specs.append(pl.BlockSpec(
                 (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM))
             cull_specs.append(pl.BlockSpec(

@@ -99,6 +99,62 @@ def main():
         tr = jax.jit(lambda s, r: shade.trace(s, r, base))
         timed_k("full trace (base cfg)", tr, scene, flat)
 
+    if "diag" in EXPS:
+        import dataclasses as _dc
+        # per-step fixed overhead: a 1-sphere scene (scalar dense path, no
+        # cull pairs) — time/step = loop latching + reductions + 1 eval
+        sph = ft.flatten(ft.Scene(
+            root=ft.sphere((0.0, 0.0, 0.0), 3.5,
+                           material=ft.solid(0.5, 0.5, 0.5)),
+            background=(0.1, 0.1, 0.1)))
+        march_s = jax.jit(lambda s, r: march(s, r, base))
+        t_sph = timed_k("march 1-sphere scene", march_s, sph, flat)
+        res = march_s(sph, flat)
+        from fraytracer_tpu.ops.pallas.march_kernel import ray_tile
+        tile = ray_tile()
+        ts = np.asarray(res.steps).reshape(-1, tile).max(1)
+        print(f"  1-sphere tile-steps sum {ts.sum()} -> "
+              f"{t_sph/max(ts.sum(),1)*1e6:.2f} us/tile-step", flush=True)
+
+        # benchmark scene: tile steps + per-step cost, march + shadows
+        march_b = jax.jit(lambda s, r: march(s, r, base))
+        t_b = timed_k("march benchmark", march_b, scene, flat)
+        res = march_b(scene, flat)
+        ts_b = np.asarray(res.steps).reshape(-1, tile).max(1)
+        print(f"  bench tile-steps sum {ts_b.sum()} mean {ts_b.mean():.1f} "
+              f"p90 {np.percentile(ts_b, 90):.0f} max {ts_b.max()} -> "
+              f"{t_b/max(ts_b.sum(),1)*1e6:.2f} us/tile-step", flush=True)
+        # window widths
+        mw = _dc.replace(base, debug_window_stats=True)
+        res_w = jax.jit(lambda s, r: march(s, r, mw))(scene, flat)
+        ws = np.asarray(res_w.steps).reshape(-1, tile)[:, 0]
+        print(f"  bench width sum {ws.sum()} mean/step "
+              f"{ws.sum()/max(ts_b.sum(),1):.2f}", flush=True)
+
+        # shadow rays as full march to read step counts
+        pos = flat.at(res.t - flat.epsilon)
+        for li in (0, 1):
+            ldir, budget, _sc = shade.light_dir_and_dist(scene, li, pos)
+            sr = ft.types.Rays(origin=pos, direction=ldir,
+                               length=jnp.where(res.hit, budget, 0.0),
+                               epsilon=jnp.full(pos.shape[:-1], 0.01))
+            cfg_sh = _dc.replace(base, cull_m=max(base.cull_m,
+                                                  base.cull_m_shadow))
+            sh_j = jax.jit(lambda s, r, cfg_sh=cfg_sh: march(s, r, cfg_sh))
+            t_sh = timed_k(f"shadow light{li} full march", sh_j, scene, sr)
+            rsh = sh_j(scene, sr)
+            tss = np.asarray(rsh.steps).reshape(-1, tile).max(1)
+            mws = _dc.replace(cfg_sh, debug_window_stats=True)
+            rw = jax.jit(lambda s, r, mws=mws: march(s, r, mws))(scene, sr)
+            wss = np.asarray(rw.steps).reshape(-1, tile)[:, 0]
+            act_tiles = (tss > 0).mean()
+            print(f"  shadow{li} tile-steps sum {tss.sum()} "
+                  f"mean {tss.mean():.1f} max {tss.max()} "
+                  f"active-tiles {act_tiles:.2f} "
+                  f"width/step {wss.sum()/max(tss.sum(),1):.2f} -> "
+                  f"{t_sh/max(tss.sum(),1)*1e6:.2f} us/tile-step",
+                  flush=True)
+
     if "stages" in EXPS:
         from fraytracer_tpu.ops.march import march_surface, march_occlusion
         march_j = jax.jit(lambda s, r: march(s, r, base))
