@@ -90,6 +90,14 @@ class MarchConfig:
     # CSG-aware material argmin inside the march kernel instead of a
     # second dense pass over the scene.
     fuse_surface: bool = True
+    # March steps executed per while_loop iteration (pallas backend).
+    # Measured on v5e: one while iteration costs ~3.9 µs of fixed overhead
+    # (loop-carried state latching + the active-lanes termination check)
+    # regardless of scene work — the dominant cost of the whole march at
+    # benchmark widths.  Unrolling N steps per iteration amortizes it N×;
+    # the only waste is ≤ N-1 masked no-op steps after a tile converges.
+    # max_steps is still honored to within one quantum (safety-net only).
+    step_unroll: int = 4
     # Report the per-tile summed candidate-window width in the march's
     # ``steps`` output instead of per-lane eval counts (bench roofline /
     # profiling instrumentation; forces a kernel variant recompile).
@@ -343,8 +351,14 @@ def occlusion_compacted(scene: FlatScene, rays: Rays, active: Array,
 
 def march_occlusion(scene: FlatScene, rays: Rays,
                     cfg: MarchConfig = MarchConfig(),
-                    sign: Array | None = None) -> Array:
+                    sign: Array | None = None,
+                    cone_apex: Array | None = None) -> Array:
     """Any-hit occlusion test: returns the hit mask only.
+
+    ``cone_apex`` ([3]): every ray provably ends at this point (point-light
+    shadow rays, budget = distance to the light) — enables the exact
+    converging-cone candidate selection (march_kernel._tile_cones) in
+    place of the near-omnidirectional bounding-ball fallback.
 
     Shadow rays (the reference's ``SdfLight.fs:10-21`` re-entering
     ``tryTrace``) need no exact hit distance, no last-distance output and
@@ -372,7 +386,7 @@ def march_occlusion(scene: FlatScene, rays: Rays,
         hit = pallas_march_raw(
             scene, flat, cfg,
             interpret=(cfg.backend == "pallas_interpret"),
-            sign=sign_flat, occlusion=True)
+            sign=sign_flat, occlusion=True, cone_apex=cone_apex)
         return hit.reshape(batch)
     return _march_raw(scene, rays, cfg, sign).hit
 

@@ -381,7 +381,7 @@ def _cull_pairs(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 class TileCones(NamedTuple):
     """Per-ray-tile bounding cone statistics (all [G] or [G, 3])."""
 
-    apex: Array        # [G, 3] mean active origin
+    apex: Array        # [G, 3] mean active origin (or the converging apex)
     axis: Array        # [G, 3] unit mean direction
     cos_half: Array    # [G] cone half-angle cosine, clipped ≥ 1e-3 (width)
     cos_lo: Array      # [G] unclipped-above-0 min direction·axis (sound
@@ -393,11 +393,16 @@ class TileCones(NamedTuple):
     o_off_lo: Array    # [G] min over active lanes of (origin-apex)·axis
     o_off_hi: Array    # [G] max of the same
     eps_max: Array     # [G] largest epsilon over active lanes
+    ax_lo: Array       # [G] exact min reachable axial coord (oa + t·ca
+    #                    over t ∈ [lo, hi], active lanes)
+    ax_hi: Array       # [G] exact max reachable axial coord
+    tan_conv: Array    # [G] converging-cone tangent (apex mode; else -1)
 
 
 def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
                 epsilon: Array, grid: int,
-                tile: int = RAY_TILE) -> TileCones:
+                tile: int = RAY_TILE,
+                conv_apex: Array | None = None) -> TileCones:
     """Per-ray-tile bounding cones.
 
     Built from the *pre-bound-skip* origins plus the march range
@@ -406,7 +411,19 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     silhouette: tiles mixing hit and miss lanes would see origins spread
     across the whole bounding sphere, inflating ``margin`` until every
     primitive is a candidate.  Inactive lanes (t_hi<=t_lo: provable miss,
-    padding) are masked out of every statistic."""
+    padding) are masked out of every statistic.
+
+    ``conv_apex`` ([3]): every ray provably ENDS at this point (point-light
+    shadow rays, SdfLight.fs:23-42: budget = distance to the light).  The
+    cone is then anchored at the light instead of the mean origin: each
+    ray's reachable set is the straight segment from its origin to the
+    apex, so the lateral reach at axial coordinate α (measured from the
+    apex along ``axis`` = −mean direction) is EXACTLY bounded by
+    ``α · tan_conv`` with ``tan_conv = max_i λ(o_i)/α(o_i)`` — no
+    origin-spread margin at all.  Without this, near-omnidirectional
+    shadow tiles fall back to a bounding-ball test and admit most of the
+    group as candidates (measured: 196 window candidates/step at the
+    benchmark point light vs ~34 for primary rays)."""
     o = origin.reshape(grid, tile, 3)
     d = direction.reshape(grid, tile, 3)
     lo = t_lo.reshape(grid, tile)
@@ -418,8 +435,13 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     any_active = n_act > 0.0
     safe_n = jnp.maximum(n_act, 1.0)
 
-    apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]  # [G,3]
+    if conv_apex is None:
+        apex = jnp.sum(o * act[..., None], axis=1) / safe_n[:, None]
+    else:
+        apex = jnp.broadcast_to(conv_apex, (grid, 3))             # [G,3]
     axis = jnp.sum(d * act[..., None], axis=1)
+    if conv_apex is not None:
+        axis = -axis            # point from the light back toward origins
     norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
     axis = jnp.where(norm > 1e-12, axis / jnp.maximum(norm, 1e-12),
                      jnp.array([0.0, 0.0, 1.0]))
@@ -452,9 +474,29 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     t_min = jnp.where(any_active, t_min, 0.0)
     max_len = jnp.max(jnp.where(act > 0.0, hi, 0.0), axis=1)
     eps_max = jnp.max(ep * act, axis=1)
-    margin = rho + 2.0 * eps_max + 1e-3
+    # exact axial reach: per lane the axial coordinate oa + t·cosd is
+    # monotone in t, so its extremes over [lo, hi] sit at the endpoints
+    ax0 = o_par + lo * cosd
+    ax1 = o_par + hi * cosd
+    ax_min_l = jnp.minimum(ax0, ax1)
+    ax_max_l = jnp.maximum(ax0, ax1)
+    ax_lo = jnp.min(jnp.where(act > 0.0, ax_min_l, _BIG), axis=1)
+    ax_hi = jnp.max(jnp.where(act > 0.0, ax_max_l, -_BIG), axis=1)
+    ax_lo = jnp.where(any_active, ax_lo, 0.0)
+    ax_hi = jnp.where(any_active, ax_hi, 0.0)
+    if conv_apex is None:
+        margin = rho + 2.0 * eps_max + 1e-3
+        tan_conv = jnp.full(margin.shape, -1.0)
+    else:
+        # converging mode: lateral reach is α·tan_conv (docstring) — the
+        # origin spread is carried by the tangent, not a radius margin
+        margin = 2.0 * eps_max + 1e-3
+        lam = jnp.sqrt(rho2)                                     # [G,T]
+        tan_l = lam / jnp.maximum(o_par, 1e-6)
+        tan_conv = jnp.max(jnp.where(act > 0.0, tan_l, 0.0), axis=1)
     return TileCones(apex, axis, cos_half, cos_lo, t_min, max_len, margin,
-                     any_active, o_off_lo, o_off_hi, eps_max)
+                     any_active, o_off_lo, o_off_hi, eps_max,
+                     ax_lo, ax_hi, tan_conv)
 
 
 class CandSelect(NamedTuple):
@@ -467,7 +509,7 @@ class CandSelect(NamedTuple):
 
 
 def _cone_candidates(bounds: Array, cones: TileCones,
-                     m_slots: int) -> CandSelect:
+                     m_slots: int, converging: bool = False) -> CandSelect:
     """Conservative cone-vs-bounding-sphere candidate selection, sorted by
     axial position along the tile cone.
 
@@ -505,25 +547,27 @@ def _cone_candidates(bounds: Array, cones: TileCones,
     # one-sided cone from the apex — for tiles with axially spread origins
     # (shadow tiles) and for divergent tiles with cos_lo ≤ 0 (advisor
     # round 2, high), where it degrades gracefully to a cylinder/ball.
-    sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
-    ml = cones.max_len[:, None]
-    t_reach = jnp.where(
-        cones.cos_lo[:, None] > 0.0,
-        jnp.clip((a + r - cones.o_off_lo[:, None])
-                 / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
-        ml)
     near = v2 <= r * r
-    lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
-    # entry-side axial bound: the minimum axial position a lane can reach is
-    # oa + t·cos_lo over t ∈ [t_min, max_len] — minimized at t_min for
-    # cos_lo ≥ 0 but at max_len when cos_lo < 0 (backward-pointing lanes
-    # march their axial coordinate down; advisor round 2, high)
-    ax_entry = jnp.where(cones.cos_lo >= 0.0,
-                         cones.t_min * cones.cos_lo,
-                         cones.max_len * cones.cos_lo) + cones.o_off_lo
+    if converging:
+        # rays are straight segments into the apex: lateral reach at axial
+        # coordinate α is exactly α·tan_conv (see _tile_cones docstring)
+        reach = jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None]
+        lateral_ok = near | (p <= r + reach)
+    else:
+        sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
+        ml = cones.max_len[:, None]
+        t_reach = jnp.where(
+            cones.cos_lo[:, None] > 0.0,
+            jnp.clip((a + r - cones.o_off_lo[:, None])
+                     / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
+            ml)
+        lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
+    # axial range: the EXACT per-tile reach [ax_lo, ax_hi] of oa + t·ca
+    # over the march interval (computed per lane at the interval endpoints
+    # — sound for forward, backward and converging lanes alike)
     cand = lateral_ok \
-        & (a + r >= ax_entry[:, None]) \
-        & (a - r <= (cones.max_len + cones.o_off_hi)[:, None]) \
+        & (a + r >= cones.ax_lo[:, None]) \
+        & (a - r <= cones.ax_hi[:, None]) \
         & cones.any_active[:, None]
     count = jnp.sum(cand.astype(jnp.int32), axis=-1)
 
@@ -607,7 +651,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   cull_pairs: Tuple = (), cull_m: int = 0,
                   omega: float = 1.0, mode: str = "march",
                   mat_vis: Tuple[int, ...] = (), has_sign: bool = False,
-                  debug_window: bool = False):
+                  debug_window: bool = False, step_unroll: int = 1):
     """Build the pallas kernel fn for a scene structure.  Cached.
 
     ``mode`` selects the program: ``"march"`` = the sphere-trace loop
@@ -1525,6 +1569,17 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 d_out_ = keep * d + (1.0 - keep) * d_out_prev
             return t_new, active, hit, d_out_, stp, wsum, i + 1
 
+        # N march steps per while iteration: the loop-carried latching +
+        # termination check cost ~3.9 µs/iteration on v5e — more than the
+        # scene evaluation itself at benchmark widths — so amortize them.
+        # Each unrolled sub-step is the unchanged masked body (inactive
+        # lanes are no-ops), so results are bit-identical; only the
+        # max_steps safety net is now honored per quantum.
+        def bodyN(state):
+            for _ in range(max(step_unroll, 1)):
+                state = body(state)
+            return state
+
         active0 = jnp.where((length > 0.0) & (t0 < length), 1.0, 0.0)
         d_init = jnp.float32(0.0) if occl else jnp.full(length.shape, _BIG)
         stp0 = jnp.zeros_like(active0)
@@ -1534,12 +1589,12 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                     jnp.zeros_like(length),          # step_taken
                     stp0, jnp.float32(0.0), jnp.int32(0))
             t, _active, hit, d, _ds, _st, stp, wsum, i = \
-                jax.lax.while_loop(cond, body, init)
+                jax.lax.while_loop(cond, bodyN, init)
         else:
             init = (t0, active0, jnp.zeros_like(active0), d_init,
                     stp0, jnp.float32(0.0), jnp.int32(0))
             t, _active, hit, d, stp, wsum, i = jax.lax.while_loop(
-                cond, body, init)
+                cond, bodyN, init)
 
         hit_out[:, :] = (hit > 0.0).astype(jnp.int32)
         if not occl:
@@ -1565,7 +1620,8 @@ def slot_surface_mode(plan: Plan) -> bool:
 
 def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                      interpret: bool = False, want_surface: bool = False,
-                     sign: Array | None = None, occlusion: bool = False):
+                     sign: Array | None = None, occlusion: bool = False,
+                     cone_apex: Array | None = None):
     """March ``rays`` (flat batch [N]) with the fused Pallas kernel.
 
     ``occlusion=True`` runs the any-hit variant (identical hit set, no
@@ -1629,7 +1685,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         pairs, cull_m, cfg.relax_omega,
         "occlusion" if occlusion else "march", mat_vis,
         has_sign=sign is not None,
-        debug_window=getattr(cfg, "debug_window_stats", False))
+        debug_window=getattr(cfg, "debug_window_stats", False),
+        step_unroll=getattr(cfg, "step_unroll", 1))
     sign_in = [pad1(sign, 1.0)] if sign is not None else []
 
     # per-tile candidate tables + axial window keys for each culled pair
@@ -1646,7 +1703,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         thi_p = pad1(jnp.where(length > 0.0, length, t0)).reshape(-1)
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
         cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid,
-                            tile)
+                            tile, conv_apex=cone_apex)
         # per-lane exact axial coordinates: origin offset (o - apex)·axis
         # plus direction cosine d·axis — the kernel's per-step windows use
         # p_ax = oa + t·ca exactly per lane, so neither origin spread nor
@@ -1669,7 +1726,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             kparams = jax.lax.stop_gradient(
                 scene.prim_params[kind][row_lo:row_hi])
             kb = _sdf._prim_bound_rows(kind, kparams)
-            sel = _cone_candidates(kb, cones, m)
+            sel = _cone_candidates(kb, cones, m,
+                                   converging=cone_apex is not None)
             if m < row_hi - row_lo:
                 # overflow possible → arm the host-side big-table
                 # fallback; with m >= group size the count can never
@@ -1790,7 +1848,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         def _big_fallback(_):
             out = pallas_march_raw(scene, rays, cfg_big, interpret,
                                    want_surface=want_surface, sign=sign,
-                                   occlusion=occlusion)
+                                   occlusion=occlusion, cone_apex=cone_apex)
             if occlusion:
                 return out
             if not want_surface:

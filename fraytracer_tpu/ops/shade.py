@@ -154,10 +154,16 @@ def shade_with_stats(scene: FlatScene, rays: Rays, hit: SurfaceHit,
             length=jnp.where(facing, budget, 0.0),
             epsilon=rays.epsilon,
         )
+        # point-light shadow rays all terminate AT the light (budget =
+        # distance): hand the kernel that apex so candidate selection uses
+        # the exact converging cone instead of a bounding ball
+        apex = (jax.lax.stop_gradient(scene.light_vec[i])
+                if scene.light_kind[i] == LIGHT_POINT else None)
         if cfg.shadow_compact and cfg.backend.startswith("pallas"):
             occluded = occlusion_compacted(scene, shadow_rays, facing, cfg)
         else:
-            occluded = march_occlusion(scene, shadow_rays, cfg)
+            occluded = march_occlusion(scene, shadow_rays, cfg,
+                                       cone_apex=apex)
         n_shadow = n_shadow + jnp.sum(facing.astype(jnp.float32))
         contrib = (scene.light_color[i] * scale[..., None]
                    * cos[..., None])

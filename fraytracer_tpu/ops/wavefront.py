@@ -75,6 +75,7 @@ def _shade_local(scene: FlatScene, pos: Array, normal: Array,
                  eps: Array, cfg: WavefrontConfig) -> Array:
     """Direct lighting at hit points (Lambert + hard shadows), RGB [...,3].
     Same math as ops.shade (SdfScene.fs:7-28) on arbitrary point batches."""
+    from ..scene.nodes import LIGHT_POINT as _LP
     light_acc = jnp.broadcast_to(scene.background, pos.shape)
     for i in range(scene.num_lights):
         ldir, budget, scale = light_dir_and_dist(scene, i, pos)
@@ -82,7 +83,9 @@ def _shade_local(scene: FlatScene, pos: Array, normal: Array,
         facing = cos > 0.0
         shadow = Rays(origin=pos, direction=ldir,
                       length=jnp.where(facing, budget, 0.0), epsilon=eps)
-        occluded = march_occlusion(scene, shadow, cfg.march)
+        apex = (jax.lax.stop_gradient(scene.light_vec[i])
+                if scene.light_kind[i] == _LP else None)
+        occluded = march_occlusion(scene, shadow, cfg.march, cone_apex=apex)
         contrib = scene.light_color[i] * scale[..., None] * cos[..., None]
         light_acc = light_acc + jnp.where((facing & ~occluded)[..., None],
                                           contrib, 0.0)

@@ -327,6 +327,43 @@ def test_occlusion_march_equivalent():
         np.asarray(march_occlusion(scene, rays, cfg)))
 
 
+def test_occlusion_converging_cone_equivalent():
+    """Point-light-style shadow rays (every ray's budget ends exactly at
+    one point): occlusion with the converging-cone candidate selection
+    (``cone_apex``) must find exactly the hit set of the full march and of
+    the apex-less occlusion — the cone only changes which candidates are
+    *examined*, never the result."""
+    from fraytracer_tpu.ops.march import march_occlusion
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=96))
+    light = jnp.asarray([-0.5, 0.0, -2.0])
+    rng = np.random.default_rng(3)
+    # origins on a sphere shell around the scene (like backed-off surface
+    # hits), directions exactly at the light, budget = distance
+    o = rng.normal(size=(1024, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.2
+    diff = np.asarray(light) - o
+    dist = np.linalg.norm(diff, axis=-1)
+    d = diff / dist[:, None]
+    # a few inactive lanes (non-facing analog)
+    act = rng.uniform(size=1024) > 0.2
+    rays = ft.types.Rays(
+        origin=jnp.asarray(o, jnp.float32),
+        direction=jnp.asarray(d, jnp.float32),
+        length=jnp.asarray(np.where(act, dist, 0.0), jnp.float32),
+        epsilon=jnp.full((1024,), 0.01, jnp.float32))
+    for kw in (dict(cull=True, cull_threshold=64, cull_m=128),
+               dict(relax_omega=1.4, cull=True, cull_threshold=64,
+                    cull_m=128)):
+        cfg = MarchConfig(backend="pallas_interpret", max_steps=192, **kw)
+        full = march(scene, rays, cfg).hit
+        occ_plain = march_occlusion(scene, rays, cfg)
+        occ_conv = march_occlusion(scene, rays, cfg, cone_apex=light)
+        np.testing.assert_array_equal(np.asarray(full),
+                                      np.asarray(occ_conv), kw)
+        np.testing.assert_array_equal(np.asarray(occ_plain),
+                                      np.asarray(occ_conv), kw)
+
+
 def test_relaxed_march_equivalent():
     """Over-relaxed march (omega=1.4) with the safe fallback finds exactly
     the same hit set, with hit distances within the epsilon shell, in fewer
