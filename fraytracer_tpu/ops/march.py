@@ -90,14 +90,33 @@ class MarchConfig:
     # CSG-aware material argmin inside the march kernel instead of a
     # second dense pass over the scene.
     fuse_surface: bool = True
+    # Ray-tile height in sublanes (pallas backend); 0 = backend default
+    # (32 on TPU).  Smaller tiles have tighter cones (less origin spread →
+    # fewer candidates) at the cost of more grid steps.
+    tile_sub: int = 0
+    # Tile height for shadow/occlusion marches specifically; 0 = tile_sub.
+    # Shadow tiles' origins are 3-D surface points whose perpendicular
+    # spread (vs the light axis) inflates the candidacy margin — smaller
+    # shadow tiles cut that spread.  (Measured on v5e: smaller shadow
+    # tiles LOSE — per-tile prologue work dominates the cone gain.)
+    shadow_tile_sub: int = 0
+    # Row-granular shadow re-tiling: sort 128-ray rows of the occlusion
+    # batch by their axial position along the light axis before marching.
+    # Shadow-ray origins within a screen-block tile span the scene's depth
+    # along the light axis, so un-sorted tiles open their candidate
+    # windows over that whole span from step 0; sorted rows give tiles a
+    # narrow axial extent.  Rows with no active lane sort to the end,
+    # compacting the marching tiles as a side effect.  Row (512-byte)
+    # gathers are vectorizable on TPU — unlike the measured-catastrophic
+    # per-lane permutations (see occlusion_compacted).
+    shadow_axial_sort: bool = True
     # March steps executed per while_loop iteration (pallas backend).
-    # Measured on v5e: one while iteration costs ~3.9 µs of fixed overhead
-    # (loop-carried state latching + the active-lanes termination check)
-    # regardless of scene work — the dominant cost of the whole march at
-    # benchmark widths.  Unrolling N steps per iteration amortizes it N×;
-    # the only waste is ≤ N-1 masked no-op steps after a tile converges.
-    # max_steps is still honored to within one quantum (safety-net only).
-    step_unroll: int = 4
+    # Measured on v5e at the benchmark: unrolling did NOT pay — per-step
+    # cost rose ~10-15% (bigger Mosaic program; the loop-condition check
+    # is not the bottleneck — cost decomposes as ~13 µs/tile fixed +
+    # ~0.8 µs/step + ~0.06 µs per window candidate).  Kept as a tuning
+    # knob; default 1.
+    step_unroll: int = 1
     # Report the per-tile summed candidate-window width in the march's
     # ``steps`` output instead of per-lane eval counts (bench roofline /
     # profiling instrumentation; forces a kernel variant recompile).
@@ -352,13 +371,21 @@ def occlusion_compacted(scene: FlatScene, rays: Rays, active: Array,
 def march_occlusion(scene: FlatScene, rays: Rays,
                     cfg: MarchConfig = MarchConfig(),
                     sign: Array | None = None,
-                    cone_apex: Array | None = None) -> Array:
+                    cone_apex: Array | None = None,
+                    axial_key: Array | None = None) -> Array:
     """Any-hit occlusion test: returns the hit mask only.
 
     ``cone_apex`` ([3]): every ray provably ends at this point (point-light
     shadow rays, budget = distance to the light) — enables the exact
     converging-cone candidate selection (march_kernel._tile_cones) in
     place of the near-omnidirectional bounding-ball fallback.
+
+    ``axial_key`` ([batch]): per-ray position along the march axis (e.g.
+    origin·light_dir).  When ``cfg.shadow_axial_sort`` is on, 128-ray rows
+    are sorted by it before marching (and the hit mask unsorted after) so
+    each kernel tile sees a narrow axial origin range — see the
+    MarchConfig field for the rationale.  A pure permutation: the result
+    is exactly that of the unsorted call.
 
     Shadow rays (the reference's ``SdfLight.fs:10-21`` re-entering
     ``tryTrace``) need no exact hit distance, no last-distance output and
@@ -375,18 +402,44 @@ def march_occlusion(scene: FlatScene, rays: Rays,
         from .pallas.march_kernel import pallas_march_raw
         # shadow tiles can have near-omnidirectional cones (point lights):
         # run with the shadow-sized candidate table so overflow is
-        # impossible (no dense-fallback cond emitted)
+        # impossible (no dense-fallback cond emitted); optionally with the
+        # shadow-specific tile height
         cfg = dataclasses.replace(
-            cfg, cull_m=max(cfg.cull_m, cfg.cull_m_shadow))
+            cfg, cull_m=max(cfg.cull_m, cfg.cull_m_shadow),
+            tile_sub=cfg.shadow_tile_sub or cfg.tile_sub)
         batch = rays.batch_shape
         flat = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
         sign_flat = None if sign is None else \
             jnp.broadcast_to(sign, batch).reshape(-1)
+        n = flat.origin.shape[0]
+        LANE = 128
+        sort = (cfg.shadow_axial_sort and axial_key is not None
+                and n % LANE == 0 and n // LANE > 1)
+        if sort:
+            rows = n // LANE
+            act = flat.length.reshape(rows, LANE) > 0.0
+            keyr = jnp.where(
+                act, sg(axial_key).reshape(rows, LANE), jnp.inf)
+            # min over active lanes; all-inactive rows sort to the end,
+            # compacting the marching tiles as a side effect
+            rowkey = jnp.min(keyr, axis=1)
+            perm = jnp.argsort(rowkey)
+            inv = jnp.argsort(perm)
+
+            def permute(x):
+                r = x.reshape((rows, LANE) + x.shape[1:])
+                return r[perm].reshape(x.shape)
+
+            flat = jax.tree.map(permute, flat)
+            if sign_flat is not None:
+                sign_flat = permute(sign_flat)
         hit = pallas_march_raw(
             scene, flat, cfg,
             interpret=(cfg.backend == "pallas_interpret"),
             sign=sign_flat, occlusion=True, cone_apex=cone_apex)
+        if sort:
+            hit = hit.reshape(rows, LANE)[inv].reshape(n)
         return hit.reshape(batch)
     return _march_raw(scene, rays, cfg, sign).hit
 

@@ -1146,8 +1146,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             for ci, (kind, ki, r0, rows, gs0) in enumerate(chunks):
                 params = param_refs[ki][r0:r0 + rows, :]
                 soa = _soa_fn(kind)
+                # int32 iota then cast: Mosaic rejects float iota results
                 lane = jax.lax.broadcasted_iota(
-                    jnp.float32, (1, 1, rows), 2)
+                    jnp.int32, (1, 1, rows), 2).astype(jnp.float32)
 
                 def f(a, b, c, params=params, soa=soa, lane=lane,
                       gs0=gs0, rows=rows):
@@ -1653,7 +1654,7 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         length = jnp.minimum(length, t_exit)
     length = jnp.where(miss0, 0.0, length)
 
-    sub = ray_sub(interpret)
+    sub = getattr(cfg, "tile_sub", 0) or ray_sub(interpret)
     tile = sub * RAY_LANE
     pad = (-n) % tile
     npad = n + pad

@@ -156,14 +156,20 @@ def shade_with_stats(scene: FlatScene, rays: Rays, hit: SurfaceHit,
         )
         # point-light shadow rays all terminate AT the light (budget =
         # distance): hand the kernel that apex so candidate selection uses
-        # the exact converging cone instead of a bounding ball
-        apex = (jax.lax.stop_gradient(scene.light_vec[i])
-                if scene.light_kind[i] == LIGHT_POINT else None)
+        # the exact converging cone instead of a bounding ball.  The
+        # axial sort key is the origin's position along the light axis
+        # (distance to the light for point lights).
+        if scene.light_kind[i] == LIGHT_POINT:
+            apex = jax.lax.stop_gradient(scene.light_vec[i])
+            akey = budget                      # = |pos - light|
+        else:
+            apex = None
+            akey = dot(hit.position, ldir)     # ldir constant per lane
         if cfg.shadow_compact and cfg.backend.startswith("pallas"):
             occluded = occlusion_compacted(scene, shadow_rays, facing, cfg)
         else:
             occluded = march_occlusion(scene, shadow_rays, cfg,
-                                       cone_apex=apex)
+                                       cone_apex=apex, axial_key=akey)
         n_shadow = n_shadow + jnp.sum(facing.astype(jnp.float32))
         contrib = (scene.light_color[i] * scale[..., None]
                    * cos[..., None])

@@ -72,30 +72,38 @@ class WavefrontConfig:
 
 
 def _shade_local(scene: FlatScene, pos: Array, normal: Array,
-                 eps: Array, cfg: WavefrontConfig) -> Array:
-    """Direct lighting at hit points (Lambert + hard shadows), RGB [...,3].
-    Same math as ops.shade (SdfScene.fs:7-28) on arbitrary point batches."""
+                 eps: Array, cfg: WavefrontConfig):
+    """Direct lighting at hit points (Lambert + hard shadows), RGB [...,3],
+    plus the number of shadow rays marched.  Same math as ops.shade
+    (SdfScene.fs:7-28) on arbitrary point batches."""
     from ..scene.nodes import LIGHT_POINT as _LP
     light_acc = jnp.broadcast_to(scene.background, pos.shape)
+    n_shadow = jnp.float32(0.0)
     for i in range(scene.num_lights):
         ldir, budget, scale = light_dir_and_dist(scene, i, pos)
         cos = dot(normal, ldir)
         facing = cos > 0.0
         shadow = Rays(origin=pos, direction=ldir,
                       length=jnp.where(facing, budget, 0.0), epsilon=eps)
-        apex = (jax.lax.stop_gradient(scene.light_vec[i])
-                if scene.light_kind[i] == _LP else None)
-        occluded = march_occlusion(scene, shadow, cfg.march, cone_apex=apex)
+        if scene.light_kind[i] == _LP:
+            apex = jax.lax.stop_gradient(scene.light_vec[i])
+            akey = budget
+        else:
+            apex = None
+            akey = dot(pos, ldir)
+        occluded = march_occlusion(scene, shadow, cfg.march,
+                                   cone_apex=apex, axial_key=akey)
+        n_shadow = n_shadow + jnp.sum(facing.astype(jnp.float32))
         contrib = scene.light_color[i] * scale[..., None] * cos[..., None]
         light_acc = light_acc + jnp.where((facing & ~occluded)[..., None],
                                           contrib, 0.0)
-    return light_acc
+    return light_acc, n_shadow
 
 
 def _bounce(scene: FlatScene, q: RayQueue, image: Array,
             cfg: WavefrontConfig, is_last: bool):
     """One wavefront round: march → shade/accumulate → spawn children →
-    compact.  Returns (new_queue, new_image)."""
+    compact.  Returns (new_queue, new_image, n_rays_marched)."""
     C = q.origin.shape[0]
     eps = jnp.full((C,), cfg.epsilon, jnp.float32)
     rays = Rays(origin=q.origin, direction=q.direction,
@@ -113,6 +121,7 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     res, nrm, midx = march_surface(scene, rays, mcfg, sign=sign)
     hit = res.hit & q.active
     missed = q.active & ~res.hit
+    n_marched = jnp.sum(q.active.astype(jnp.float32))
 
     # Surface frame at hits (backed off by epsilon, SdfObject.fs:73)
     pos = rays.at(res.t - eps)
@@ -129,7 +138,8 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     bg_contrib = jnp.where(missed[..., None], w * scene.background, 0.0)
 
     # ---- diffuse shading term ---------------------------------------------
-    light_rgb = _shade_local(scene, pos, nrm, eps, cfg)
+    light_rgb, n_shadow = _shade_local(scene, pos, nrm, eps, cfg)
+    n_marched = n_marched + n_shadow
     emission = scene.mat_emission[midx]
     lambert = albedo * light_rgb * jnp.float32(1.0 / math.pi) + emission
 
@@ -148,7 +158,7 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     if is_last:
         # terminal round: drop unfinished specular energy (bounded bias,
         # like any fixed-depth path truncation)
-        return q, image
+        return q, image, n_marched
 
     # ---- children ----------------------------------------------------------
     # orient the shading normal against the incident ray for Fresnel
@@ -211,42 +221,139 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     order = jnp.argsort(klass, stable=True)
     keep = order[:C]
     new_q = jax.tree.map(lambda x: x[keep], both)
-    return new_q, image
+    return new_q, image, n_marched
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def render_spectral(scene: FlatScene, camera, width: int, height: int,
-                    cfg: WavefrontConfig = WavefrontConfig()) -> Array:
-    """Spectral wavefront render → linear RGB [H, W, 3].
+def render_spectral_with_stats(scene: FlatScene, camera, width: int,
+                               height: int,
+                               cfg: WavefrontConfig = WavefrontConfig()):
+    """Spectral wavefront render → (linear RGB [H, W, 3], rays marched).
 
-    Launches one ray per (pixel, wavelength bin); capacity stays at
-    H·W·num_bins throughout (children replace parents after compaction).
-    With purely diffuse scenes this reproduces the plain render (the bin
-    filters sum to 1); dielectric/mirror materials add dispersive
-    refraction, reflection and TIR — the reference's end-goal optics
-    (README.md:7, Light.fs).
+    **Shared primary round**: camera rays are identical for every
+    wavelength bin (dispersion begins at the first specular surface), so
+    round 0 marches ONE ray per pixel and accumulates the diffuse/miss
+    terms with the summed bin weight — exactly the per-bin result, at 1/B
+    of the march cost.  Specular hits then spawn per-bin Fresnel children
+    (per-bin IOR → dispersion) into the wavefront queue; rounds 1..depth-1
+    run the queue as before.  Scenes with no mirror/dielectric materials
+    (a static property) skip the queue entirely — matching the reference,
+    whose only realized secondary rays are shadows (SdfLight.fs:10-21),
+    while dielectric scenes exercise the full README.md:7 optics.
     """
     from ..camera import camera_rays  # local import to avoid cycle
+    from .shade import resolve_material
 
     base = camera_rays(camera, width, height, cfg.epsilon, cfg.length)
     npix = width * height
     B = cfg.num_bins
-    o = jnp.repeat(base.origin.reshape(npix, 3), B, axis=0)
-    d = jnp.repeat(base.direction.reshape(npix, 3), B, axis=0)
-    pixel = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), B)
-    wl = jnp.tile(jnp.arange(B, dtype=jnp.int32), npix)
+    rays0 = Rays(origin=base.origin.reshape(npix, 3),
+                 direction=base.direction.reshape(npix, 3),
+                 length=jnp.full((npix,), cfg.length, jnp.float32),
+                 epsilon=jnp.full((npix,), cfg.epsilon, jnp.float32))
 
-    q = RayQueue(
-        origin=o, direction=d, pixel=pixel, wl=wl,
-        throughput=jnp.full((npix * B,), 1.0 / B, jnp.float32),
-        length=jnp.full((npix * B,), cfg.length, jnp.float32),
-        inside=jnp.zeros((npix * B,), bool),
-        active=jnp.ones((npix * B,), bool),
-    )
-    image = jnp.zeros((npix, 3), jnp.float32)
+    # ---- round 0: one march shared by all bins --------------------------
+    res, nrm, midx = march_surface(scene, rays0, cfg.march)
+    hit = res.hit
+    missed = ~hit
+    n_rays = jnp.float32(npix)
+    eps = rays0.epsilon
+    pos = rays0.at(res.t - eps)
+    midx = jnp.maximum(resolve_material(scene, pos, hit, midx), 0)
+    albedo = sdf.albedo_of(scene, midx, pos)
+    mat_kind = jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
 
-    for bounce in range(cfg.depth):
-        q, image = _bounce(scene, q, image, cfg,
-                           is_last=(bounce == cfg.depth - 1))
+    # summed per-bin weight: Σ_b (1/B)·(bin_rgb·B) = Σ_b bin_rgb ≈ (1,1,1)
+    w0 = jnp.asarray(spectral.BIN_RGB.sum(axis=0))            # [3]
 
-    return image.reshape(height, width, 3)
+    light_rgb, n_shadow = _shade_local(scene, pos, nrm, eps, cfg)
+    n_rays = n_rays + n_shadow
+    emission = scene.mat_emission[midx]
+    lambert = albedo * light_rgb * jnp.float32(1.0 / math.pi) + emission
+    is_solid = mat_kind == MAT_SOLID
+    is_mirror = mat_kind == MAT_MIRROR
+    is_diel = mat_kind == MAT_DIELECTRIC
+    refl = scene.mat_reflectivity[midx]
+    diffuse_w = jnp.where(is_solid, 1.0,
+                          jnp.where(is_mirror, 1.0 - refl, 0.0))
+    image = jnp.where(missed[..., None], w0 * scene.background,
+                      w0 * lambert * diffuse_w[..., None])    # [npix, 3]
+
+    has_specular = any(k in (MAT_MIRROR, MAT_DIELECTRIC)
+                       for k in scene.mat_kind)
+    if not has_specular or cfg.depth <= 1:
+        return image.reshape(height, width, 3), n_rays
+
+    # ---- per-bin specular children from the shared hits -----------------
+    n_face = jnp.where(dot(nrm, rays0.direction)[..., None] > 0.0,
+                       -nrm, nrm)
+    wl_b = jnp.arange(B, dtype=jnp.int32)                     # [B]
+    ior_b = spectral.cauchy_ior(scene.mat_ior[midx][None].repeat(B, 0)
+                                .reshape(B * npix, 2),
+                                jnp.repeat(wl_b, npix))       # [B*npix]
+
+    def tileB(x):
+        return jnp.tile(x, (B,) + (1,) * (x.ndim - 1))
+
+    dirB, nfB = tileB(rays0.direction), tileB(n_face)
+    n1 = jnp.ones((B * npix,), jnp.float32)
+    R, refl_dir, refr_dir, tir = spectral.fresnel(dirB, nfB, n1, ior_b)
+
+    hitB, mirB, dielB = tileB(hit), tileB(is_mirror), tileB(is_diel)
+    reflB = tileB(refl)
+    remaining = tileB(jnp.maximum(rays0.length - res.t, 0.0))
+    surf = tileB(rays0.at(res.t))
+    epsB = tileB(eps)
+    pixel = jnp.tile(jnp.arange(npix, dtype=jnp.int32), (B,))
+    wl = jnp.repeat(wl_b, npix)
+
+    T0 = jnp.float32(1.0 / B)
+    refl_T = T0 * jnp.where(mirB, reflB, jnp.where(dielB, R, 0.0))
+    a_act = hitB & (mirB | dielB) & (refl_T > cfg.min_throughput)
+    a_origin = surf + 3.0 * epsB[..., None] * nfB
+
+    bfilt = spectral.bin_rgb(wl)
+    tintB = tileB(scene.mat_tint[midx])
+    tint = (jnp.sum(bfilt * tintB, axis=-1)
+            / jnp.maximum(jnp.sum(bfilt, axis=-1), 1e-6))
+    refr_T = T0 * jnp.where(dielB, (1.0 - R) * tint, 0.0)
+    b_act = hitB & dielB & ~tir & (refr_T > cfg.min_throughput)
+    b_origin = surf - 3.0 * epsB[..., None] * nfB
+    refr_dir = normalize(refr_dir)
+
+    def mk(origin, direction, T, active, inside):
+        return RayQueue(
+            origin=origin, direction=direction, pixel=pixel, wl=wl,
+            throughput=jnp.where(active, T, 0.0),
+            length=jnp.where(active, remaining, 0.0),
+            inside=inside, active=active)
+
+    child_a = mk(a_origin, refl_dir, refl_T, a_act,
+                 jnp.zeros((B * npix,), bool))
+    child_b = mk(b_origin, refr_dir, refr_T, b_act,
+                 jnp.ones((B * npix,), bool))
+
+    # compact 2·B·npix → C = B·npix (same 3-class partition as _bounce)
+    both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                        child_a, child_b)
+    low = both.active & (both.throughput < cfg.overflow_drop_threshold)
+    klass = (~both.active).astype(jnp.int32) * 2 + low.astype(jnp.int32)
+    order = jnp.argsort(klass, stable=True)
+    q = jax.tree.map(lambda x: x[order[:B * npix]], both)
+
+    for bounce in range(1, cfg.depth):
+        q, image, n_m = _bounce(scene, q, image, cfg,
+                                is_last=(bounce == cfg.depth - 1))
+        n_rays = n_rays + n_m
+
+    return image.reshape(height, width, 3), n_rays
+
+
+def render_spectral(scene: FlatScene, camera, width: int, height: int,
+                    cfg: WavefrontConfig = WavefrontConfig()) -> Array:
+    """Spectral wavefront render → linear RGB [H, W, 3] (see
+    render_spectral_with_stats).  With purely diffuse scenes this
+    reproduces the plain render (the bin filters sum to 1);
+    dielectric/mirror materials add dispersive refraction, reflection and
+    TIR — the reference's end-goal optics (README.md:7, Light.fs)."""
+    return render_spectral_with_stats(scene, camera, width, height, cfg)[0]

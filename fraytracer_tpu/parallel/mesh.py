@@ -204,8 +204,8 @@ def render_spectral_sharded(scene: FlatScene, camera: cam.Camera,
                 q = _rebalance_exchange(q, k, n_dev, C,
                                         wcfg.min_throughput)
                 counts[-1] = jnp.sum(q.active.astype(jnp.int32))
-            q, image = _bounce(scene, q, image, wcfg,
-                               is_last=(bounce == wcfg.depth - 1))
+            q, image, _n = _bounce(scene, q, image, wcfg,
+                                   is_last=(bounce == wcfg.depth - 1))
         if rebalance:
             image = jax.lax.psum(image, AXIS)
             image = jax.lax.dynamic_slice_in_dim(image, k * npix, npix, 0)
@@ -217,25 +217,55 @@ def render_spectral_sharded(scene: FlatScene, camera: cam.Camera,
     return jax.jit(fn)(scene, base)
 
 
-def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
+def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2,
+                    grad_chunks: int = 4):
     """Build the sharded inverse-rendering training step (BASELINE config 5).
 
     Each step: render the current scene (rows sharded) → local L2 loss vs
     the target shard → grads w.r.t. every scene parameter → ``psum`` over
     ICI → SGD update on the replicated scene.  Returns a jitted function
     ``step(scene, camera, target) -> (scene', loss)``.
+
+    **Gradient/communication overlap** (the north star's "grad all-reduce
+    overlapped with the backward sweep"): with ``grad_chunks > 1`` the
+    local row block is split into that many chunks; each chunk's
+    forward+backward is an independent subgraph whose gradients are
+    ``psum``-ed as soon as that chunk's backward finishes.  The chunks are
+    emitted UNROLLED (a Python loop, not ``lax.scan`` — a scan would
+    serialize round i's collective before round i+1's compute), so XLA's
+    latency-hiding scheduler is free to run chunk i's all-reduce on the
+    ICI while chunk i+1's backward occupies the VPU.  The result is
+    bit-reassociated but numerically equivalent to the monolithic path:
+    Σ_chunks psum(g_chunk) = psum(Σ_chunks g_chunk)
+    (tests/test_sharding.py asserts allclose).  Falls back to one chunk
+    when the local row count is not divisible.
     """
 
     def local_fn(scene: FlatScene, rays: Rays, target: Array):
-        def loss_fn(s: FlatScene):
-            img = shade.trace(s, rays, cfg.march)
-            return jnp.sum((img - target) ** 2)
+        h_local = target.shape[0]
+        nc = grad_chunks if grad_chunks > 0 and \
+            h_local % max(grad_chunks, 1) == 0 else 1
+        hc = h_local // nc
 
-        loss, grads = jax.value_and_grad(loss_fn)(scene)
-        loss = jax.lax.psum(loss, AXIS)
-        grads = jax.tree.map(
-            lambda g: jax.lax.psum(g, AXIS) if jnp.issubdtype(
-                g.dtype, jnp.floating) else g, grads)
+        def chunk_loss(s: FlatScene, r_c, t_c):
+            img = shade.trace(s, r_c, cfg.march)
+            return jnp.sum((img - t_c) ** 2)
+
+        loss = jnp.float32(0.0)
+        grads = None
+        for i in range(nc):
+            r_c = jax.tree.map(lambda x: x[i * hc:(i + 1) * hc], rays)
+            t_c = target[i * hc:(i + 1) * hc]
+            loss_i, g_i = jax.value_and_grad(chunk_loss)(scene, r_c, t_c)
+            # per-chunk all-reduce: independent of later chunks' compute,
+            # so the scheduler overlaps it with their backward sweeps
+            g_i = jax.tree.map(
+                lambda g: jax.lax.psum(g, AXIS) if jnp.issubdtype(
+                    g.dtype, jnp.floating) else g, g_i)
+            loss = loss + jax.lax.psum(loss_i, AXIS)
+            grads = g_i if grads is None else jax.tree.map(
+                lambda a, b: a + b if jnp.issubdtype(
+                    a.dtype, jnp.floating) else a, grads, g_i)
         new_scene = jax.tree.map(
             lambda p, g: p - lr * g if jnp.issubdtype(
                 p.dtype, jnp.floating) else p, scene, grads)

@@ -112,6 +112,11 @@ def _block_perm(height: int, width: int, b: int = 32):
     coherent pixels (square blocks sized to the tile) have narrow ray
     cones → small candidate lists.  Row-major order would make each tile
     a thin full-width strip with a uselessly wide cone.
+
+    Index form, for host tools; the jitted render path applies the same
+    permutation as reshape+transpose (``_to_blocks``/``_from_blocks``) —
+    XLA lowers a 1M-element gather near-serially, a transpose as a fast
+    vectorized copy.
     """
     idx = np.arange(height * width).reshape(height, width)
     blocks = (idx.reshape(height // b, b, width // b, b)
@@ -122,26 +127,42 @@ def _block_perm(height: int, width: int, b: int = 32):
     return blocks, inv
 
 
+def _to_blocks(x: Array, height: int, width: int, b: int) -> Array:
+    """[H, W, ...] → flat [H·W, ...] in b×b-block order (pure transpose)."""
+    t = x.reshape((height // b, b, width // b, b) + x.shape[2:])
+    order = (0, 2, 1, 3) + tuple(range(4, t.ndim))
+    return t.transpose(order).reshape((height * width,) + x.shape[2:])
+
+
+def _from_blocks(x: Array, height: int, width: int, b: int) -> Array:
+    """flat [H·W, ...] in block order → [H, W, ...] (pure transpose)."""
+    t = x.reshape((height // b, width // b, b, b) + x.shape[1:])
+    order = (0, 2, 1, 3) + tuple(range(4, t.ndim))
+    return t.transpose(order).reshape((height, width) + x.shape[1:])
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render(scene: FlatScene, camera: cam.Camera,
            cfg: RenderConfig = RenderConfig()) -> Array:
     """Render the full image → linear RGB float32 [H, W, 3] (row 0 = top)."""
     rays = cam.camera_rays(camera, cfg.width, cfg.height,
                            cfg.epsilon, cfg.length)
-    flat_rays = jax.tree.map(
-        lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]), rays)
 
     pallas = cfg.march.backend.startswith("pallas")
     blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
     if blocked:
-        perm, inv = _block_perm(cfg.height, cfg.width,
-                                _auto_block(cfg.height, cfg.width))
-        flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
+        b = _auto_block(cfg.height, cfg.width)
+        flat_rays = jax.tree.map(
+            lambda x: _to_blocks(x, cfg.height, cfg.width, b), rays)
+    else:
+        flat_rays = jax.tree.map(
+            lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]),
+            rays)
 
     tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays
     colors = _trace_tiled(scene, flat_rays, cfg.march, tile)
     if blocked:
-        colors = colors[inv]
+        return _from_blocks(colors, cfg.height, cfg.width, b)
     return colors.reshape(cfg.height, cfg.width, 3)
 
 
@@ -154,14 +175,16 @@ def render_with_stats(scene: FlatScene, camera: cam.Camera,
     Returns ``(image [H, W, 3], n_rays scalar f32)``."""
     rays = cam.camera_rays(camera, cfg.width, cfg.height,
                            cfg.epsilon, cfg.length)
-    flat_rays = jax.tree.map(
-        lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]), rays)
     pallas = cfg.march.backend.startswith("pallas")
     blocked = pallas and cfg.height % 32 == 0 and cfg.width % 32 == 0
     if blocked:
-        perm, inv = _block_perm(cfg.height, cfg.width,
-                                _auto_block(cfg.height, cfg.width))
-        flat_rays = jax.tree.map(lambda x: x[perm], flat_rays)
+        b = _auto_block(cfg.height, cfg.width)
+        flat_rays = jax.tree.map(
+            lambda x: _to_blocks(x, cfg.height, cfg.width, b), rays)
+    else:
+        flat_rays = jax.tree.map(
+            lambda x: x.reshape((cfg.width * cfg.height,) + x.shape[2:]),
+            rays)
 
     tile = cfg.tile_rays_pallas if pallas else cfg.tile_rays
     n = flat_rays.origin.shape[0]
@@ -185,7 +208,7 @@ def render_with_stats(scene: FlatScene, camera: cam.Camera,
         # padded lanes each contribute exactly 1 to the primary count
         n_rays = jnp.sum(counts) - jnp.float32(pad)
     if blocked:
-        colors = colors[inv]
+        return _from_blocks(colors, cfg.height, cfg.width, b), n_rays
     return colors.reshape(cfg.height, cfg.width, 3), n_rays
 
 

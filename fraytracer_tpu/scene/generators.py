@@ -16,7 +16,8 @@ from . import nodes as N
 
 __all__ = [
     "random_material", "random_sphere", "random_capsule", "random_torus",
-    "random_triangle", "torus_csg_scene", "benchmark_scene", "csg_demo_scene",
+    "random_triangle", "torus_csg_scene", "benchmark_scene",
+    "csg_demo_scene", "spectral_csg_scene",
 ]
 
 
@@ -98,6 +99,45 @@ def torus_csg_scene(seed: int = 19, n_tori: int = 1000) -> N.Scene:
 
 # the canonical benchmark entry (BASELINE.md implied workload)
 benchmark_scene = torus_csg_scene
+
+
+def spectral_csg_scene(seed: int = 19, n_tori: int = 1000,
+                       frac_dielectric: float = 0.25,
+                       frac_mirror: float = 0.10) -> N.Scene:
+    """The benchmark scene with a deterministic fraction of dispersive
+    glass + mirror tori — the spectral-benchmark workload (BASELINE
+    configs 3-4; the reference's intended optics, README.md:7 +
+    Materials.fs glass constants).  Every 1/frac-th torus (by index) gets
+    the specular material so the wavefront queue actually carries
+    dispersive bounce rays instead of degenerating to the diffuse case."""
+    rng = np.random.default_rng(seed)
+    tori = []
+    kd = max(int(round(1.0 / max(frac_dielectric, 1e-6))), 1)
+    km = max(int(round(1.0 / max(frac_mirror, 1e-6))), 1)
+    for i in range(n_tori):
+        t = random_torus(rng)
+        if i % kd == 0:
+            t = N.torus(t.params[0:3], t.params[3:6], float(t.params[6]),
+                        float(t.params[7]),
+                        material=N.dielectric(1.5168, 0.00420,
+                                              tint=(0.95, 0.97, 0.99)))
+        elif i % km == 1:
+            t = N.torus(t.params[0:3], t.params[3:6], float(t.params[6]),
+                        float(t.params[7]),
+                        material=N.mirror(0.85, albedo=(0.9, 0.9, 0.9)))
+        tori.append(t)
+    root = N.subtract(
+        N.intersect(N.union(*tori), N.sphere((0.0, 0.0, 0.0), 3.5)),
+        N.sphere((-0.5, 1.0, -2.0), 2.5),
+    )
+    return N.Scene(
+        root=root,
+        background=(0.1, 0.1, 0.1),
+        lights=(
+            N.directional_light((-0.5, -1.0, 1.0), (0.5, 0.5, 0.5)),
+            N.point_light((-0.5, 0.0, -2.0), (10.0, 0.0, 0.0)),
+        ),
+    )
 
 
 def csg_demo_scene(seed: int = 7) -> N.Scene:

@@ -89,6 +89,27 @@ def test_train_step_matches_single_device(scene, camera):
                                np.asarray(want_albedo), atol=1e-5)
 
 
+def test_train_step_chunked_overlap_matches_monolithic(scene, camera):
+    """The chunked backward (per-chunk psum overlapped with later chunks'
+    compute, the north-star collective-overlap mechanism) produces the
+    same gradients/update as the monolithic all-at-once psum — only the
+    floating-point summation order differs."""
+    mesh = make_mesh(8)
+    target = jnp.full((CFG.height, CFG.width, 3), 0.05, jnp.float32)
+    lr = 1e-4
+    s_mono, l_mono = make_train_step(CFG, mesh, lr=lr, grad_chunks=1)(
+        scene, camera, target)
+    s_chunk, l_chunk = make_train_step(CFG, mesh, lr=lr, grad_chunks=4)(
+        scene, camera, target)
+    np.testing.assert_allclose(float(l_chunk), float(l_mono), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_chunk.prim_params),
+                    jax.tree.leaves(s_mono.prim_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_chunk.mat_albedo),
+                               np.asarray(s_mono.mat_albedo), atol=1e-6)
+
+
 def test_spectral_sharded_matches_single(scene, camera):
     from fraytracer_tpu.ops.wavefront import WavefrontConfig, render_spectral
     from fraytracer_tpu.parallel.mesh import render_spectral_sharded

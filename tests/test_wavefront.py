@@ -35,6 +35,23 @@ def test_diffuse_scene_matches_plain_render():
     np.testing.assert_allclose(spec, plain, atol=2e-5)
 
 
+def test_spectral_benchmark_scene_smoke():
+    """The glass+mirror benchmark variant renders finite, reports a
+    plausible ray count (> primary), and actually spawns bounce rays."""
+    from fraytracer_tpu.ops.wavefront import render_spectral_with_stats
+    from fraytracer_tpu.scene.generators import spectral_csg_scene
+    scene = ft.flatten(spectral_csg_scene(seed=19, n_tori=64))
+    cam = ft.look_at((0, 0, -10), (0, 0, 0), fov_degrees=60.0)
+    W = H = 32
+    img, n = render_spectral_with_stats(
+        scene, cam, W, H, WavefrontConfig(depth=3, epsilon=0.01,
+                                          length=30.0, march=MARCH))
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    # primary round = W*H rays; specular tori must add bounce rays
+    assert float(n) > W * H * 1.05
+
+
 def test_mirror_reflects_scene():
     """A mirror floor under a red sphere shows red in the reflection."""
     scene = ft.flatten(ft.Scene(

@@ -99,6 +99,106 @@ def main():
         tr = jax.jit(lambda s, r: shade.trace(s, r, base))
         timed_k("full trace (base cfg)", tr, scene, flat)
 
+    if "shadowsub" in EXPS:
+        import dataclasses as _dc
+        for sub in (0, 16, 8):
+            cfg = _dc.replace(base, shadow_tile_sub=sub)
+            tr = jax.jit(lambda s, r, cfg=cfg: shade.trace(s, r, cfg))
+            timed_k(f"full trace shadow_tile_sub={sub}", tr, scene, flat)
+
+    if "loopjit" in EXPS:
+        # pure device time: KL frames inside ONE jit (no dispatch floor)
+        KL = 16
+
+        @jax.jit
+        def trace_k(s, r):
+            def body(i, acc):
+                r2 = jax.tree.map(lambda x: x, r)
+                r2 = r2.replace(origin=r.origin + acc * 1e-38)
+                return acc + jnp.sum(shade.trace(s, r2, base)) * 1e-9
+            return jax.lax.fori_loop(0, KL, body, jnp.float32(0.0))
+
+        t0 = time.perf_counter()
+        float(trace_k(scene, flat))
+        print(f"loopjit compile {time.perf_counter()-t0:.1f}s", flush=True)
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(trace_k(scene, flat))
+            best = min(best, (time.perf_counter() - t0) / KL)
+        print(f"{'full trace (in-jit loop, device-only)':44s} "
+              f"{best*1e3:9.2f} ms/frame", flush=True)
+
+    if "tile" in EXPS:
+        # per-tile fixed-cost curve: 1-sphere scene at several sizes
+        sph = ft.flatten(ft.Scene(
+            root=ft.sphere((0.0, 0.0, 0.0), 3.5,
+                           material=ft.solid(0.5, 0.5, 0.5)),
+            background=(0.1, 0.1, 0.1)))
+        from fraytracer_tpu.ops.pallas.march_kernel import ray_tile
+        tile = ray_tile()
+        for sz in (256, 512, 1024):
+            r2 = cam.camera_rays(camera, sz, sz, 0.01, 30.0)
+            f2 = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), r2)
+            p2, _ = _block_perm(sz, sz, _auto_block(sz, sz))
+            f2 = jax.tree.map(lambda x: x[p2], f2)
+            ntiles = (sz * sz) // tile
+            mj = jax.jit(lambda s, r: march(s, r, base))
+            t = timed_k(f"1-sphere march {sz}^2 ({ntiles} tiles)",
+                        mj, sph, f2)
+            print(f"   -> {t/ntiles*1e6:.2f} us/tile", flush=True)
+            tb = timed_k(f"bench march {sz}^2 ({ntiles} tiles)",
+                         mj, scene, f2)
+            print(f"   -> {tb/ntiles*1e6:.2f} us/tile", flush=True)
+
+    if "shadowconv" in EXPS:
+        # converging-cone point shadow: time + width with cone_apex
+        import dataclasses as _dc
+        from fraytracer_tpu.ops.march import march_occlusion
+        from fraytracer_tpu.ops.pallas.march_kernel import ray_tile
+        tile = ray_tile()
+        march_b = jax.jit(lambda s, r: march(s, r, base))
+        res = march_b(scene, flat)
+        pos = flat.at(res.t - flat.epsilon)
+        ldir, budget, _sc = shade.light_dir_and_dist(scene, 1, pos)
+        sr = ft.types.Rays(origin=pos, direction=ldir,
+                           length=jnp.where(res.hit, budget, 0.0),
+                           epsilon=jnp.full(pos.shape[:-1], 0.01))
+        cfg_sh = _dc.replace(base, cull_m=max(base.cull_m,
+                                              base.cull_m_shadow))
+        apex = scene.light_vec[1]
+        occ_j = jax.jit(lambda s, r: march_occlusion(s, r, cfg_sh,
+                                                     cone_apex=apex))
+        timed_k("point shadow occl (converging cone)", occ_j, scene, sr)
+        occ_p = jax.jit(lambda s, r: march_occlusion(s, r, cfg_sh))
+        timed_k("point shadow occl (plain cone)", occ_p, scene, sr)
+        # candidate counts with/without apex
+        from fraytracer_tpu.ops.pallas import march_kernel as mk
+        from fraytracer_tpu.ops import sdf as _sdf
+        from fraytracer_tpu.ops.march import bound_skip_start
+
+        def counts(r, ap):
+            t0v, miss0, t_exitv = bound_skip_start(scene, r)
+            length = jnp.minimum(r.length, t_exitv)
+            length = jnp.where(miss0, 0.0, length)
+            t_hi = jnp.where(length > 0.0, t0v + length, t0v)
+            g = r.origin.shape[0] // tile
+            cones = mk._tile_cones(r.origin, r.direction, t0v, t_hi,
+                                   r.epsilon, g, tile, conv_apex=ap)
+            pr = mk._cull_pairs(scene.kind_counts, scene.plan,
+                                base.cull_threshold)
+            (_g, kind, _ki, lo, hi) = pr[0]
+            kb = _sdf._prim_bound_rows(kind,
+                                       scene.prim_params[kind][lo:hi])
+            sel = mk._cone_candidates(kb, cones, 1024,
+                                      converging=ap is not None)
+            return sel.count
+        for name, ap in (("plain", None), ("converging", apex)):
+            c = np.asarray(jax.jit(lambda r, ap=ap: counts(r, ap))(sr))
+            print(f"  point-shadow candidates/tile ({name}): "
+                  f"mean {c.mean():.0f} p90 {np.percentile(c, 90):.0f} "
+                  f"max {c.max()}", flush=True)
+
     if "diag" in EXPS:
         import dataclasses as _dc
         # per-step fixed overhead: a 1-sphere scene (scalar dense path, no
