@@ -85,7 +85,9 @@ class MarchConfig:
     # and replaced by a per-lane lower-bound cap (the position-dependent
     # pruning analog of the reference grid's sorted lower bounds,
     # SdfBoundary.fs:266-282).  Effective clamp = max(this, 8·epsilon).
-    cull_window_clamp: float = 0.5
+    # Measured on v5e at the benchmark: 0.125 beats 0.25 beats 0.5
+    # (narrower windows outweigh the slightly shorter empty-space caps).
+    cull_window_clamp: float = 0.125
     # Fused surface pass (pallas backend): compute analytic normals and the
     # CSG-aware material argmin inside the march kernel instead of a
     # second dense pass over the scene.
@@ -100,16 +102,25 @@ class MarchConfig:
     # shadow tiles cut that spread.  (Measured on v5e: smaller shadow
     # tiles LOSE — per-tile prologue work dominates the cone gain.)
     shadow_tile_sub: int = 0
+    # Backward-pass candidate sizing (implicit-diff VJP, point_eval): the
+    # gradient only needs the scene SDF's local argmin neighborhood at
+    # each hit point, so the backward's [tile, m] candidate matrices can
+    # be far smaller than the march's.  Exactness is still certified per
+    # tile (point_eval docstring) with a dense fallback, so these are pure
+    # performance knobs.
+    bwd_cull_m: int = 48
+    bwd_point_tile: int = 256
     # Row-granular shadow re-tiling: sort 128-ray rows of the occlusion
     # batch by their axial position along the light axis before marching.
     # Shadow-ray origins within a screen-block tile span the scene's depth
     # along the light axis, so un-sorted tiles open their candidate
     # windows over that whole span from step 0; sorted rows give tiles a
     # narrow axial extent.  Rows with no active lane sort to the end,
-    # compacting the marching tiles as a side effect.  Row (512-byte)
-    # gathers are vectorizable on TPU — unlike the measured-catastrophic
-    # per-lane permutations (see occlusion_compacted).
-    shadow_axial_sort: bool = True
+    # compacting the marching tiles as a side effect.  Measured on v5e:
+    # even ROW-granular (512-byte-slice) gathers lose 3× — XLA lowers
+    # every data-dependent reorder near-serially on this backend — so this
+    # defaults off like the per-lane variant (occlusion_compacted).
+    shadow_axial_sort: bool = False
     # March steps executed per while_loop iteration (pallas backend).
     # Measured on v5e at the benchmark: unrolling did NOT pay — per-step
     # cost rose ~10-15% (bigger Mosaic program; the loop-condition check
@@ -253,7 +264,10 @@ def _culled_scene_d(scene, rays, raw, cfg, batch):
         from .point_eval import build_culled_eval, dense_dist_tiled
         built = build_culled_eval(scene, x0.reshape(-1, 3),
                                   sg(raw.hit).reshape(-1),
-                                  m=cfg.cull_m, threshold=cfg.cull_threshold)
+                                  m=cfg.bwd_cull_m,
+                                  threshold=cfg.cull_threshold,
+                                  tile=cfg.bwd_point_tile,
+                                  for_materials=False)
         if built is not None:
             dist_fn, _mat_fn, tile_of, nn, ok = built
 
@@ -271,6 +285,42 @@ def _culled_scene_d(scene, rays, raw, cfg, batch):
             return scene_d, x0
 
     return (lambda sc, x: sdf.scene_distance(sc, x)), x0
+
+
+def _leaf_scene_d(scene: FlatScene, code: Array):
+    """Leaf-local differentiable scene distance from the fused surface
+    pass's signed winning-leaf code: ``f(x) = sign · d_leaf(x)``.
+
+    At a min/max-CSG hit point the scene SDF locally EQUALS the winning
+    leaf's (possibly negated) distance — the same argmin argument the
+    in-kernel slot normals rest on — so the implicit-diff backward can
+    differentiate just that one primitive instead of a [tile, m]
+    candidate matrix (VERDICT r3 #4: the per-tile exactness certificate
+    cannot hold on silhouette tiles, which silently forced the dense
+    fallback).  ``|code|-1`` is the winning global slot, ``sign(code)``
+    the CSG orientation; code 0 (miss / AD-mode) lanes return 0 and carry
+    no cotangent (the VJP masks them by hit).  Returns a closure
+    ``scene_d(sc, x)`` differentiable in both arguments."""
+    from .pallas.march_kernel import _GEN_FNS
+    sg = jax.lax.stop_gradient
+    code = sg(code)
+    slot = jnp.abs(code).astype(jnp.int32) - 1
+    sgn = jnp.sign(code)
+
+    def scene_d(sc: FlatScene, x: Array) -> Array:
+        out = jnp.zeros(x.shape[:-1])
+        off = 0
+        for kind, cnt in sc.kind_counts:
+            in_kind = (slot >= off) & (slot < off + cnt)
+            row = jnp.clip(slot - off, 0, cnt - 1)
+            params = sc.prim_params[kind][row]          # [..., P]
+            d = _GEN_FNS[kind](lambda j: params[..., j],
+                               x[..., 0], x[..., 1], x[..., 2])
+            out = jnp.where(in_kind, d, out)
+            off += cnt
+        return sgn * out
+
+    return scene_d
 
 
 def _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg):
@@ -449,20 +499,23 @@ def march_occlusion(scene: FlatScene, rays: Rays,
 # ---------------------------------------------------------------------------
 
 def _surf_raw(scene: FlatScene, rays: Rays, sign: Array, cfg: MarchConfig):
-    """Non-differentiable fused march+surface via the Pallas kernel."""
+    """Non-differentiable fused march+surface via the Pallas kernel.
+    Returns (MarchResult, normal [..., 3], material [...], leaf code [...])
+    — the signed winning-leaf code feeds the leaf-local backward."""
     from .pallas.march_kernel import pallas_march_raw
     batch = rays.batch_shape
     flat = jax.tree.map(
         lambda x: x.reshape((-1,) + x.shape[len(batch):]), rays)
     sign_flat = None if sign.ndim == 0 else \
         jnp.broadcast_to(sign, batch).reshape(-1)
-    res, aux, midx = pallas_march_raw(
+    res, aux, midx, code = pallas_march_raw(
         scene, flat, cfg, interpret=(cfg.backend == "pallas_interpret"),
         want_surface=True, sign=sign_flat)
     res = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), res)
     # aux is the unit normal [N, 3] in both surface modes (slot mode
     # recovers the winning leaf's gradient in-kernel) — see pallas_march_raw
-    return (res, aux.reshape(batch + aux.shape[1:]), midx.reshape(batch))
+    return (res, aux.reshape(batch + aux.shape[1:]), midx.reshape(batch),
+            code.reshape(batch))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -473,7 +526,7 @@ def _march_surf_cvjp(scene: FlatScene, rays: Rays, sign: Array,
 
 def _march_surf_fwd(scene, rays, sign, cfg):
     out = _march_surf_cvjp(scene, rays, sign, cfg)
-    return out, (scene, rays, sign, out[0])
+    return out, (scene, rays, sign, out[0], out[3])
 
 
 def _march_surf_bwd(cfg, residuals, ct):
@@ -482,13 +535,19 @@ def _march_surf_bwd(cfg, residuals, ct):
     differentiable recompute ``n = normalize(∇f)(scene, o + (t(scene)-ε)d)``
     where t(scene) is the same implicit reparameterization — so gradients
     are identical to the unfused (march → point_eval normal) chain without
-    re-running the kernel."""
-    scene, rays, sign, raw = residuals
-    ct_res, ct_n, _ct_m = ct
+    re-running the kernel.  For min/max-only CSG the local scene distance
+    is the kernel-reported winning leaf (``_leaf_scene_d``) — one
+    primitive per ray instead of per-tile candidate matrices."""
+    scene, rays, sign, raw, code = residuals
+    ct_res, ct_n, _ct_m, _ct_code = ct
     sg = jax.lax.stop_gradient
     signv = None if sign.ndim == 0 else sg(sign)
     batch = raw.t.shape
-    if signv is None:
+    from .pallas.march_kernel import slot_surface_mode
+    if slot_surface_mode(scene.plan):
+        scene_d = _leaf_scene_d(scene, code)
+        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
+    elif signv is None:
         scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
     else:
         scene_d = lambda sc, x: sdf.scene_distance(sc, x)
@@ -545,7 +604,7 @@ def march_surface(scene: FlatScene, rays: Rays,
     """
     if cfg.backend.startswith("pallas") and cfg.fuse_surface:
         sign_arg = jnp.float32(0.0) if sign is None else sign
-        return _march_surf_cvjp(scene, rays, sign_arg, cfg)
+        return _march_surf_cvjp(scene, rays, sign_arg, cfg)[:3]
     res = march(scene, rays, cfg, sign=sign)
     pos = rays.at(res.t - rays.epsilon)
     normal = sdf.scene_normal(scene, pos)

@@ -1161,7 +1161,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 ggx, ggy, ggz = vjpf(ones)
                 gx, gy, gz = gx + ggx, gy + ggy, gz + ggz
 
-        return sgn * gx, sgn * gy, sgn * gz, ms
+        # the signed winning-leaf code is exported too: the implicit-diff
+        # backward differentiates ONLY that leaf (ops/march._leaf_scene_d)
+        return sgn * gx, sgn * gy, sgn * gz, ms, code
 
     # ---- surface pass (AD mode): value + gradient + material -------------
 
@@ -1403,7 +1405,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             raise ValueError(op)
 
         _v, gx, gy, gz = ev_g(tree)
-        return gx, gy, gz, ms
+        # AD mode (smooth unions blend leaves): no single winning leaf —
+        # code 0 marks "no leaf", the backward keeps the culled/dense path
+        return gx, gy, gz, ms, jnp.zeros(shp)
 
     # ---- the kernels -----------------------------------------------------
 
@@ -1455,16 +1459,17 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         px = ox[:, :] + ts * dxr[:, :]
         py = oy[:, :] + ts * dyr[:, :]
         pz = oz[:, :] + ts * dzr[:, :]
-        nx_out, ny_out, nz_out, mat_out = outs
+        nx_out, ny_out, nz_out, mat_out, code_out = outs
         ev = surface_eval_slot if slot_mode else surface_eval
-        gx, gy, gz, ms = ev(param_refs, gid_ref, mat_ref, pair_refs,
-                            pair_consts, dense_consts,
-                            px, py, pz, t, oa, ca, hitm)
+        gx, gy, gz, ms, code = ev(param_refs, gid_ref, mat_ref, pair_refs,
+                                  pair_consts, dense_consts,
+                                  px, py, pz, t, oa, ca, hitm)
         inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
         nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
         ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)
         nz_out[:, :] = jnp.where(hitm, gz * inv, 1.0)
         mat_out[:, :] = jnp.where(hitm, ms, -1.0).astype(jnp.int32)
+        code_out[:, :] = jnp.where(hitm, code, 0.0)
 
     if mode == "surface":
         return surf_kernel, n_kinds, slot_gid, dense_mode, slot_mode
@@ -1854,9 +1859,9 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 return out
             if not want_surface:
                 return (out.t, out.hit, out.distance, out.steps)
-            res, normal, midx = out
+            res, normal, midx, code = out
             return (res.t, res.hit, res.distance, res.steps,
-                    normal[:, 0], normal[:, 1], normal[:, 2], midx)
+                    normal[:, 0], normal[:, 1], normal[:, 2], midx, code)
     else:
         _big_fallback = None
 
@@ -1888,8 +1893,9 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
                 if i % 4 == 0 else sp
                 for i, sp in enumerate(cull_specs)]
         s_shape = [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)] * 3 \
-            + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)]
-        s_specs = [ray_spec] * 4
+            + [jax.ShapeDtypeStruct((rows, RAY_LANE), jnp.int32)] \
+            + [jax.ShapeDtypeStruct((rows, RAY_LANE), f32)]  # leaf code
+        s_specs = [ray_spec] * 5
         souts = pl.pallas_call(
             surf_kernel,
             grid=(grid,),
@@ -1903,7 +1909,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
           *oa_in, *params, gid_in, mat_in, *cull_inputs)
         nx, ny, nz = [o.reshape(npad)[:n] for o in souts[0:3]]
         midx = souts[3].reshape(npad)[:n]
-        fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1))
+        code = souts[4].reshape(npad)[:n]
+        fast = fast + (nx, ny, nz, jnp.where(hit, midx, -1), code)
 
     if _big_fallback is not None:
         # see the occlusion-path comment: exact full-table re-march in the
@@ -1916,4 +1923,4 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
     if not want_surface:
         return res
     normal = jnp.stack([fast[4], fast[5], fast[6]], axis=-1)
-    return res, normal, fast[7]
+    return res, normal, fast[7], fast[8]

@@ -123,7 +123,9 @@ def _candidates(bounds: Array, center: Array, m: int):
 
 def build_culled_eval(scene: FlatScene, pos: Array,
                       hit: Array | None = None,
-                      m: int = 128, threshold: int = 192):
+                      m: int = 128, threshold: int = 192,
+                      tile: int = POINT_TILE,
+                      for_materials: bool = True):
     """Build a culled scene evaluator around the point batch ``pos [N, 3]``.
 
     Returns ``None`` when the scene has no cull-eligible group (callers fall
@@ -146,14 +148,14 @@ def build_culled_eval(scene: FlatScene, pos: Array,
     if not pairs:
         return None
 
-    pad = (-n) % POINT_TILE
+    pad = (-n) % tile
     npad = n + pad
 
     def reshape(x):
         if pad:
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             x = jnp.pad(x, widths, mode="edge")
-        return x.reshape((npad // POINT_TILE, POINT_TILE) + x.shape[1:])
+        return x.reshape((npad // tile, tile) + x.shape[1:])
 
     pos_t = reshape(jax.lax.stop_gradient(pos))
     hit_t = reshape(hit) if hit is not None else None
@@ -191,7 +193,11 @@ def build_culled_eval(scene: FlatScene, pos: Array,
             params = rows_params[idx]
             d = _soa_eval(kind, params, q)                 # [G, T, mcap]
             need = jnp.min(d, axis=-1)
-            if (mat_of_row >= 0).any():
+            if for_materials and (mat_of_row >= 0).any():
+                # the material-argmin winner can be much farther than the
+                # union min (cutter surfaces) — callers that only need
+                # distances/gradients (the implicit-diff backward) pass
+                # for_materials=False and get a far looser certificate
                 cand_mats = jnp.asarray(mat_of_row)[idx]   # [G, mcap]
                 dm = jnp.where((cand_mats >= 0)[:, None, :], d, _BIG)
                 need = jnp.maximum(need, jnp.min(dm, axis=-1))
