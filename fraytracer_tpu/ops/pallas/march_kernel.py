@@ -355,8 +355,13 @@ def _cull_pairs(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         slot_gid[list(g.slots)] = g.gid
 
     pairs = []
+    has_sumexp = any(g.op == "sumexp" for g in groups)
     for g in groups:
-        if g.op != "min":
+        # 'min' (union) groups always cull; 'max' (intersect) groups cull
+        # via the symmetric skip-bound scheme (see culled_pass) — but only
+        # in slot-surface scenes (the AD-mode surface pass has no max
+        # window variant; smooth unions force AD mode)
+        if g.op == "sumexp" or (g.op == "max" and has_sumexp):
             continue
         slots = np.sort(np.asarray(g.slots))
         for kind, cnt in kind_counts:
@@ -634,7 +639,17 @@ def _pair_window(keys_ref, ca, clamp, t, oa, lane_mask, chunks: int):
     BH = jnp.max(jnp.where(behind, lo_c, -_BIG))
     AH = jnp.min(jnp.where(ahead, hi_c, _BIG))
     cap = jnp.minimum(AH - p_ax, p_ax - BH)
-    return w_lo, w_hi, cap, phi
+    # max-group ('intersect') skip bounds: the BEST lower bound over the
+    # skipped candidates' distances — max_j d_j ≥ p_ax − min(behind lo_c)
+    # and ≥ max(ahead hi_c) − p_ax (−BIG when the class is empty)
+    BHmin = jnp.min(jnp.where(behind, lo_c, _BIG))
+    AHmax = jnp.max(jnp.where(ahead, hi_c, -_BIG))
+    any_behind = jnp.max(jnp.where(behind, 1.0, 0.0)) > 0.0
+    any_ahead = jnp.max(jnp.where(ahead, 1.0, 0.0)) > 0.0
+    skip_lb = jnp.maximum(
+        jnp.where(any_behind, p_ax - BHmin, -_BIG),
+        jnp.where(any_ahead, AHmax - p_ax, -_BIG))
+    return w_lo, w_hi, cap, phi, skip_lb
 
 
 def _pair_m(cull_m: int, group: int) -> int:
@@ -796,7 +811,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- march-time scene distance --------------------------------------
 
     def scene_distance(param_refs, gid_ref, pair_refs, pair_consts,
-                       dense_consts, px, py, pz, t, oa, ca, active):
+                       dense_consts, px, py, pz, t, oa, ca, active,
+                       eps_v):
         shp = px.shape
         accs = accs_init(shp)
         wwidth = []  # per-pair window widths this step (debug stats)
@@ -804,15 +820,19 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         for pi, (gid, kind, ki, row_lo, row_hi) in enumerate(cull_pairs):
             cand_ref, keys_ref, _misc_ref, hsuf_ref = pair_refs[pi]
             clamp = pair_consts[pi][1]
+            count_c = pair_consts[pi][3]
             P = PARAM_WIDTH[kind]
             fn = _scalar_fn(kind, prepped=True)
             vfn = _vec_fn(kind, prepped=True)
             m = pair_m[pi]
+            g_op = groups[gid].op   # 'min' (union) or 'max' (intersect)
+            g_size = row_hi - row_lo
 
             def culled_pass(_, cand_ref=cand_ref, keys_ref=keys_ref,
                             hsuf_ref=hsuf_ref, clamp=clamp,
-                            fn=fn, vfn=vfn, P=P, m=m):
-                w_lo, cb_hi, cap, phi = _pair_window(
+                            count_c=count_c, fn=fn, vfn=vfn, P=P, m=m,
+                            g_op=g_op, g_size=g_size):
+                w_lo, cb_hi, cap, phi, skip_lb = _pair_window(
                     keys_ref, ca, clamp, t, oa, active > 0.0,
                     m // CAND_UNROLL)
                 # running-min early-out (the reference's sorted
@@ -826,14 +846,17 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # per-chunk suffix-min) the scan can stop when
                 # max_lanes(acc + p_hi) <= H_cb — the group min is EXACTLY
                 # unchanged, like the reference's lower-bound skip.
+                # (min groups only; max groups scan their whole window)
                 stop_ref = phi   # max over active lanes of p_ax
 
                 def wcond(carry):
                     cb, acc, amax = carry
-                    if NO_EARLYOUT:
+                    if NO_EARLYOUT or g_op == "max":
                         return cb < cb_hi
                     return jnp.logical_and(
                         cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cb])
+
+                red0 = _BIG if g_op == "min" else -_BIG
 
                 if SCALAR_CAND:
                     def wbody(carry):
@@ -842,7 +865,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         for k in range(CAND_UNROLL):
                             s = tuple(cand_ref[c0 + k, j]
                                       for j in range(P))
-                            acc = jnp.minimum(acc, fn(s, px, py, pz))
+                            dk = fn(s, px, py, pz)
+                            acc = jnp.minimum(acc, dk) if g_op == "min" \
+                                else jnp.maximum(acc, dk)
                         amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
                         return cb + 1, acc, amax
                 else:
@@ -851,16 +876,30 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         blk = cand_ref[pl.ds(cb * CAND_UNROLL,
                                              CAND_UNROLL), :]
                         d = vfn(blk, px, py, pz)      # [CK, S, 128]
-                        acc = jnp.minimum(acc, jnp.min(d, axis=0))
+                        if g_op == "min":
+                            acc = jnp.minimum(acc, jnp.min(d, axis=0))
+                        else:
+                            acc = jnp.maximum(acc, jnp.max(d, axis=0))
                         amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
                         return cb + 1, acc, amax
 
                 _cb, win, _am = jax.lax.while_loop(
                     wcond, wbody,
-                    (w_lo, jnp.full(shp, _BIG), jnp.float32(_BIG)))
+                    (w_lo, jnp.full(shp, red0), jnp.float32(_BIG)))
                 width = (jnp.maximum(cb_hi - w_lo, 0)
                          * CAND_UNROLL).astype(jnp.float32)
-                return jnp.minimum(win, cap), width
+                if g_op == "min":
+                    return jnp.minimum(win, cap), width
+                # intersect (max) group, the reference's boundary
+                # max-distance pruning re-expressed (SdfForm.fs:51-67):
+                # skipped window chunks contribute their best lower bound;
+                # a member excluded from the candidate table entirely is
+                # > margin ≥ 2·eps from every reachable point, so the
+                # group value is floored there (no hit can fire and the
+                # step stays conservative — a LOWER bound of the true max)
+                excl = jnp.where(count_c < float(g_size),
+                                 2.0 * eps_v, -_BIG)
+                return jnp.maximum(jnp.maximum(win, skip_lb), excl), width
 
             # overflow (count > m) is handled host-side by a lax.cond dense
             # fallback around the whole kernel — emitting a full-sweep body
@@ -936,13 +975,16 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             fn = _scalar_fn(kind, prepped=True)
             vfn = _vec_fn(kind, prepped=True)
             m = pair_m[pi]
+            g_op = groups[gid].op
 
             def culled_sp(_, cand_ref=cand_ref, count=count,
-                          fn=fn, vfn=vfn, P=P, m=m):
+                          fn=fn, vfn=vfn, P=P, m=m, g_op=g_op):
                 # one loop over the whole candidate list: the material
                 # winner can be far from the hit (cutter surfaces), and it
-                # subsumes the hit-shell window for the leaf argmin
+                # subsumes the hit-shell window for the leaf arg-extremum
                 n_c = jnp.minimum(count, float(m)).astype(jnp.int32)
+                mn = g_op == "min"
+                ex0 = _BIG if mn else -_BIG
 
                 if SCALAR_CAND:
                     def body(cb, carry):
@@ -954,7 +996,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                             mat = cand_ref[c0 + k, P]
                             slot = cand_ref[c0 + k, P + 1]
                             d = fn(s, px, py, pz)
-                            better = (d < bd) & hitm
+                            better = ((d < bd) if mn else (d > bd)) & hitm
                             bd = jnp.where(better, d, bd)
                             bs = jnp.where(better, slot + 1.0, bs)
                             mb = (d < md_) & (mat >= 0.0)
@@ -971,18 +1013,22 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         slotc = blk[:, P + 1][:, None, None]
                         ck = jax.lax.broadcasted_iota(jnp.int32,
                                                       d.shape, 0)
-                        # leaf argmin within the chunk; first-in-scan-order
-                        # tie-break matches the sequential scalar scan
-                        dmin = jnp.min(d, axis=0)
+                        # leaf arg-extremum within the chunk; first-in-
+                        # scan-order tie-break matches the scalar scan
+                        dext = jnp.min(d, axis=0) if mn \
+                            else jnp.max(d, axis=0)
+                        hit_ext = (d <= dext[None]) if mn \
+                            else (d >= dext[None])
                         kfst = jnp.min(
-                            jnp.where(d <= dmin[None], ck, CAND_UNROLL),
-                            axis=0)
+                            jnp.where(hit_ext, ck, CAND_UNROLL), axis=0)
                         swin = jnp.sum(jnp.where(ck == kfst[None],
                                                  slotc, 0.0), axis=0)
-                        better = (dmin < bd) & hitm
-                        bd = jnp.where(better, dmin, bd)
+                        better = ((dext < bd) if mn else (dext > bd)) \
+                            & hitm
+                        bd = jnp.where(better, dext, bd)
                         bs = jnp.where(better, swin + 1.0, bs)
-                        # material argmin over mat>=0 candidates
+                        # material argmin over mat>=0 candidates (always a
+                        # MIN — SdfObject.fs:26-46 — whatever the group op)
                         dm = jnp.where(matc >= 0.0, d, _BIG)
                         dmm = jnp.min(dm, axis=0)
                         mfst = jnp.min(
@@ -995,7 +1041,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                         ms_ = jnp.where(mb, mwin, ms_)
                         return bd, bs, md_, ms_
 
-                init = (jnp.full(shp, _BIG), jnp.zeros(shp), md, ms)
+                init = (jnp.full(shp, ex0), jnp.zeros(shp), md, ms)
                 return jax.lax.fori_loop(
                     0, (n_c + CAND_UNROLL - 1) // CAND_UNROLL, body, init)
 
@@ -1228,7 +1274,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # normal window margin: the hit shell only (8·eps, misc
                 # col 3) — far narrower than the march clamp; the argmin
                 # the normal depends on is within epsilon of a hit
-                w_lo, w_hi, cap, _phi = _pair_window(
+                w_lo, w_hi, cap, _phi, _slb = _pair_window(
                     keys_ref, ca, surf_clamp, t, oa, hitm,
                     m // CAND_UNROLL)
 
@@ -1507,7 +1553,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             pz = origin[2] + t * direc[2]
             d, w = scene_distance(param_refs, gid_ref, pair_refs,
                                   pair_consts, dense_consts,
-                                  px, py, pz, t, oa, ca, active)
+                                  px, py, pz, t, oa, ca, active, eps)
             # per-lane sign: -1 marches *inside* the solid toward the exit
             # surface (refraction transmission).  Sound under the window
             # cap: a containing primitive's bound always contains the

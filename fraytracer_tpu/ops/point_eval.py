@@ -176,7 +176,14 @@ def build_culled_eval(scene: FlatScene, pos: Array,
     ok = jnp.bool_(True)
     pair_sel: List[Tuple] = []
     for (gid, kind, _ki, row_lo, row_hi) in pairs:
-        mcap = min(m, row_hi - row_lo)
+        # 'max' (intersect) groups: every member can bind the max, so the
+        # nearest-by-bound truncation (a union-min argument) is unsound —
+        # keep the full group here (the kernel's window scheme handles
+        # them; point batches just evaluate all members)
+        if groups[gid].op == "max":
+            mcap = row_hi - row_lo
+        else:
+            mcap = min(m, row_hi - row_lo)
         rows_params = jax.lax.stop_gradient(
             scene.prim_params[kind][row_lo:row_hi])
         bounds = sdf._prim_bound_rows(kind, rows_params)

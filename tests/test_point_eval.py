@@ -67,7 +67,9 @@ def test_culled_surface_hit_matches_dense_trace():
 
     img_c = np.asarray(shade.trace(scene, rays, CULLED))
     img_d = np.asarray(shade.trace(scene, rays, DENSE_NM))
-    assert np.abs(img_c - img_d).max() < 2e-3
+    # epsilon-shell shading drift (hit points differ inside the shell
+    # between the two sound trajectories): O(eps · shading Lipschitz)
+    assert np.abs(img_c - img_d).max() < 3e-3
     # pixels whose hit points coincide must match tightly
     same = np.abs(np.asarray(r_c.t) - np.asarray(r_d.t)) < 1e-6
     exact = (~hits) | same
@@ -137,7 +139,10 @@ def test_culled_vjp_matches_dense_gradients():
     g_nf = jax.grad(lambda s: loss(
         s, dataclasses.replace(CULLED, fuse_surface=False)))(scene)
     for kind in ("torus", "sphere"):
+        # the fused path's winning-leaf backward evaluates one primitive
+        # per ray; the unfused chain reduces over candidate matrices —
+        # same math, different summation order → reassociation-level diff
         np.testing.assert_allclose(
             np.asarray(g_c.prim_params[kind]),
-            np.asarray(g_nf.prim_params[kind]), atol=1e-5,
+            np.asarray(g_nf.prim_params[kind]), atol=5e-5,
             err_msg=f"fused-VJP mismatch for {kind}")
