@@ -513,8 +513,52 @@ class CandSelect(NamedTuple):
     hi_key: Array   # [G, M] f32: axial near edge (a - r - o_off_hi - slack)
 
 
+def _cand_mask(bounds: Array, cones: TileCones,
+               converging: bool = False) -> Array:
+    """Conservative per-tile candidacy mask [G, Kg] (the membership test of
+    :func:`_cone_candidates`, reusable at sub-tile granularity).
+
+    Lateral wedge test.  Every reachable point x = o_i + t·d_i has, in
+    apex coordinates (axial α, lateral λ): λ(x) ≤ rho_perp + t·sin_half
+    (margin carries rho_perp + 2eps) and α(x) = o_par_i + t·cos(d_i,axis)
+    with cos ∈ [cos_lo, 1], so at axial position α the largest t any lane
+    can have is t_reach(α) = min(max_len, (α−o_off_lo)/cos_lo) for
+    cos_lo > 0 and max_len otherwise (backward-pointing lanes decouple t
+    from α).  A candidate sphere at (a, p, radius r) can only touch the
+    wedge if p ≤ r + sin_half·t_reach(a + r).  This is the cone test for
+    coherent camera tiles (rho_perp ≈ 0, cos_lo ≈ 1) but stays sound for
+    tiles with axially spread origins (shadow tiles) and for divergent
+    tiles with cos_lo ≤ 0, where it degrades gracefully to a
+    cylinder/ball.  The axial range uses the EXACT per-tile reach
+    [ax_lo, ax_hi] of oa + t·ca over the march interval."""
+    c = bounds[None, :, 0:3]
+    r = bounds[None, :, 3] + cones.margin[:, None]
+    v = c - cones.apex[:, None, :]
+    a = jnp.sum(v * cones.axis[:, None, :], axis=-1)
+    v2 = jnp.sum(v * v, axis=-1)
+    p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
+    near = v2 <= r * r
+    if converging:
+        reach = jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None]
+        lateral_ok = near | (p <= r + reach)
+    else:
+        sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
+        ml = cones.max_len[:, None]
+        t_reach = jnp.where(
+            cones.cos_lo[:, None] > 0.0,
+            jnp.clip((a + r - cones.o_off_lo[:, None])
+                     / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
+            ml)
+        lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
+    return lateral_ok \
+        & (a + r >= cones.ax_lo[:, None]) \
+        & (a - r <= cones.ax_hi[:, None]) \
+        & cones.any_active[:, None]
+
+
 def _cone_candidates(bounds: Array, cones: TileCones,
-                     m_slots: int, converging: bool = False) -> CandSelect:
+                     m_slots: int, converging: bool = False,
+                     cand: Array | None = None) -> CandSelect:
     """Conservative cone-vs-bounding-sphere candidate selection, sorted by
     axial position along the tile cone.
 
@@ -530,7 +574,13 @@ def _cone_candidates(bounds: Array, cones: TileCones,
     point whenever ``lo_key < τ_lo·cos_lo - clamp`` (entirely behind) or
     ``hi_key > τ_hi + clamp`` (entirely ahead); see the kernel docstring
     for the derivation.  Non-candidates sort to the end with keys ≈ +BIG
-    (always "ahead" → never evaluated)."""
+    (always "ahead" → never evaluated).
+
+    ``cand`` optionally OVERRIDES the membership mask (e.g. the union of
+    finer sub-tile masks from :func:`_cand_mask` — sub-cones have less
+    origin/direction spread, so their union admits far fewer candidates
+    than this tile-level test would); keys are always computed w.r.t.
+    THIS cone's apex/axis (the kernel's windows use the tile frame)."""
     c = bounds[None, :, 0:3]                     # [1,Kg,3]
     r_act = bounds[None, :, 3]                   # [1,Kg]
     r = r_act + cones.margin[:, None]            # [G,Kg] inflated
@@ -538,42 +588,8 @@ def _cone_candidates(bounds: Array, cones: TileCones,
     a = jnp.sum(v * cones.axis[:, None, :], axis=-1)   # [G,Kg]
     v2 = jnp.sum(v * v, axis=-1)
     p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
-    # Lateral wedge test.  Every reachable point x = o_i + t·d_i has, in
-    # apex coordinates (axial α, lateral λ):
-    #   λ(x) ≤ rho_perp + t·sin_half      (margin carries rho_perp + 2eps)
-    #   α(x) = o_par_i + t·cos(d_i,axis)  with cos ∈ [cos_lo, 1]
-    # so at axial position α the largest t any lane can have is
-    #   t_reach(α) = min(max_len, (α - o_off_lo)/cos_lo)   for cos_lo > 0
-    #              = max_len                                for cos_lo ≤ 0
-    # (backward-pointing lanes decouple t from α).  A candidate sphere at
-    # (a, p, radius r) can only touch the wedge if p ≤ r + sin_half·
-    # t_reach(a + r).  This is the cone test for coherent camera tiles
-    # (rho_perp ≈ 0, cos_lo ≈ 1 → λ ≤ sinθ·α) but stays sound — unlike a
-    # one-sided cone from the apex — for tiles with axially spread origins
-    # (shadow tiles) and for divergent tiles with cos_lo ≤ 0 (advisor
-    # round 2, high), where it degrades gracefully to a cylinder/ball.
-    near = v2 <= r * r
-    if converging:
-        # rays are straight segments into the apex: lateral reach at axial
-        # coordinate α is exactly α·tan_conv (see _tile_cones docstring)
-        reach = jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None]
-        lateral_ok = near | (p <= r + reach)
-    else:
-        sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
-        ml = cones.max_len[:, None]
-        t_reach = jnp.where(
-            cones.cos_lo[:, None] > 0.0,
-            jnp.clip((a + r - cones.o_off_lo[:, None])
-                     / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
-            ml)
-        lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
-    # axial range: the EXACT per-tile reach [ax_lo, ax_hi] of oa + t·ca
-    # over the march interval (computed per lane at the interval endpoints
-    # — sound for forward, backward and converging lanes alike)
-    cand = lateral_ok \
-        & (a + r >= cones.ax_lo[:, None]) \
-        & (a - r <= cones.ax_hi[:, None]) \
-        & cones.any_active[:, None]
+    if cand is None:
+        cand = _cand_mask(bounds, cones, converging)
     count = jnp.sum(cand.astype(jnp.int32), axis=-1)
 
     m = min(m_slots, bounds.shape[0])
@@ -1756,6 +1772,18 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         eps_p = jnp.pad(rays.epsilon, ((0, pad),))
         cones = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p, grid,
                             tile, conv_apex=cone_apex)
+        # sub-cone candidacy: membership tested on 4× finer sub-tiles
+        # (less origin/direction spread → tighter wedges → fewer
+        # candidates, especially for shadow tiles whose origins span the
+        # surface) and OR-ed per marching tile; windows/keys stay in the
+        # tile frame.  Sound: excluded ⟹ > margin ≥ 2·eps from every
+        # reachable point of every sub-tile ⟹ of the tile.
+        SUBF = 4
+        cones_f = None
+        if tile % SUBF == 0 and (tile // SUBF) % RAY_LANE == 0:
+            cones_f = _tile_cones(origin_p, dir_p, tlo_p, thi_p, eps_p,
+                                  grid * SUBF, tile // SUBF,
+                                  conv_apex=cone_apex)
         # per-lane exact axial coordinates: origin offset (o - apex)·axis
         # plus direction cosine d·axis — the kernel's per-step windows use
         # p_ax = oa + t·ca exactly per lane, so neither origin spread nor
@@ -1778,8 +1806,14 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
             kparams = jax.lax.stop_gradient(
                 scene.prim_params[kind][row_lo:row_hi])
             kb = _sdf._prim_bound_rows(kind, kparams)
+            cmask = None
+            if cones_f is not None:
+                cmask = jnp.any(
+                    _cand_mask(kb, cones_f, cone_apex is not None)
+                    .reshape(grid, SUBF, -1), axis=1)
             sel = _cone_candidates(kb, cones, m,
-                                   converging=cone_apex is not None)
+                                   converging=cone_apex is not None,
+                                   cand=cmask)
             if m < row_hi - row_lo:
                 # overflow possible → arm the host-side big-table
                 # fallback; with m >= group size the count can never

@@ -43,24 +43,40 @@ def resolve_material(scene: FlatScene, pos: Array, hit: Array,
     candidate list; a hit on a material-less surface (e.g. a CSG cutter)
     whose nearest material-bearing primitive lies outside that list
     reports -1 (advisor round 2, medium).  The reference's contract is a
-    *global* argmin over visible material primitives (SdfObject.fs:26-46),
-    so those lanes fall back to the dense sweep — inside a ``lax.cond``
-    that costs nothing when no lane needs it (the overwhelmingly common
-    case: material owners are almost always within the hit's own tile)."""
+    *global* argmin over visible material primitives (SdfObject.fs:26-46).
+
+    Repairs are three-tiered: none (free), ≤ CAP bad lanes → gather just
+    those lanes and dense-evaluate them (the wavefront's bounce rounds
+    always have a few, and re-evaluating the whole 2M-lane queue to fix
+    them cost ~10× the fix), else the full dense sweep."""
     bad = hit & (midx < 0)
+    flatpos = pos.reshape(-1, 3)
+    flatbad = bad.reshape(-1)
+    flatm = midx.reshape(-1)
+    n = flatpos.shape[0]
+    CAP = min(4096, n)
 
     def dense(_):
-        flat = pos.reshape(-1, 3)
-        n = flat.shape[0]
         ch = min(16384, n)
         pad = (-n) % ch
-        fp = jnp.pad(flat, ((0, pad), (0, 0)))
+        fp = jnp.pad(flatpos, ((0, pad), (0, 0)))
         m = jax.lax.map(lambda p: sdf.material_at(scene, p)[0],
                         fp.reshape(-1, ch, 3))
-        m = m.reshape(-1)[:n].reshape(midx.shape)
-        return jnp.where(bad, m, midx)
+        return jnp.where(flatbad, m.reshape(-1)[:n], flatm)
 
-    return jax.lax.cond(jnp.any(bad), dense, lambda _: midx, None)
+    def capped(_):
+        _v, idx = jax.lax.top_k(flatbad.astype(jnp.int32), CAP)
+        pts = flatpos[idx]
+        m = sdf.material_at(scene, pts)[0]
+        fixed = flatm.at[idx].set(
+            jnp.where(flatbad[idx], m, flatm[idx]))
+        return fixed
+
+    nbad = jnp.sum(flatbad.astype(jnp.int32))
+    out = jax.lax.cond(
+        nbad == 0, lambda _: flatm,
+        lambda _: jax.lax.cond(nbad <= CAP, capped, dense, None), None)
+    return out.reshape(midx.shape)
 
 
 def surface_hit(scene: FlatScene, rays: Rays,

@@ -218,9 +218,31 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
                         child_a, child_b)
     low = both.active & (both.throughput < cfg.overflow_drop_threshold)
     klass = (~both.active).astype(jnp.int32) * 2 + low.astype(jnp.int32)
-    order = jnp.argsort(klass, stable=True)
-    keep = order[:C]
-    new_q = jax.tree.map(lambda x: x[keep], both)
+    from .pallas.gather import BLOCK, flat_block_gather
+    if (cfg.march.backend == "pallas" and C % BLOCK == 0):
+        # TPU fast path: the same partition at (8,128)-block granularity,
+        # applied with the DMA-speed Pallas gather — XLA's element-level
+        # gather of the 2C queue costs ~25 ms per field (≈300 ms/round);
+        # this runs at HBM bandwidth.  A kept block may carry some dead
+        # lanes (they march as no-ops); a dropped block may carry actives
+        # only when more than C/BLOCK blocks contain class-0 lanes — the
+        # same bounded-energy drop policy, one granularity coarser.
+        blockk = jnp.min(klass.reshape(-1, BLOCK), axis=1)
+        keep = jnp.argsort(blockk, stable=True)[:C // BLOCK] \
+            .astype(jnp.int32)
+        nb = C // BLOCK
+
+        def g(x):
+            if x.dtype == jnp.bool_:
+                out = flat_block_gather(x.astype(jnp.int32), keep, nb)
+                return out.astype(jnp.bool_)
+            return flat_block_gather(x, keep, nb)
+
+        new_q = jax.tree.map(g, both)
+    else:
+        order = jnp.argsort(klass, stable=True)
+        keep = order[:C]
+        new_q = jax.tree.map(lambda x: x[keep], both)
     return new_q, image, n_marched
 
 
@@ -247,8 +269,20 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     base = camera_rays(camera, width, height, cfg.epsilon, cfg.length)
     npix = width * height
     B = cfg.num_bins
-    rays0 = Rays(origin=base.origin.reshape(npix, 3),
-                 direction=base.direction.reshape(npix, 3),
+    # screen-block ordering (pure transpose — render.py._to_blocks): the
+    # march kernel's per-tile cones need spatially coherent tiles; raster
+    # order makes every tile a full-width strip (measured 4× slower)
+    blocked = (cfg.march.backend.startswith("pallas")
+               and height % 32 == 0 and width % 32 == 0)
+    if blocked:
+        from ..render import _auto_block, _from_blocks, _to_blocks
+        bsz = _auto_block(height, width)
+        o0 = _to_blocks(base.origin, height, width, bsz)
+        d0 = _to_blocks(base.direction, height, width, bsz)
+    else:
+        o0 = base.origin.reshape(npix, 3)
+        d0 = base.direction.reshape(npix, 3)
+    rays0 = Rays(origin=o0, direction=d0,
                  length=jnp.full((npix,), cfg.length, jnp.float32),
                  epsilon=jnp.full((npix,), cfg.epsilon, jnp.float32))
 
@@ -279,33 +313,44 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     image = jnp.where(missed[..., None], w0 * scene.background,
                       w0 * lambert * diffuse_w[..., None])    # [npix, 3]
 
+    def finish(img):
+        # the image buffer lives in screen-block order (aligned with the
+        # rays; children carry block-order pixel ids) — unblock at the end
+        if blocked:
+            return _from_blocks(img, height, width, bsz)
+        return img.reshape(height, width, 3)
+
     has_specular = any(k in (MAT_MIRROR, MAT_DIELECTRIC)
                        for k in scene.mat_kind)
     if not has_specular or cfg.depth <= 1:
-        return image.reshape(height, width, 3), n_rays
+        return finish(image), n_rays
 
     # ---- per-bin specular children from the shared hits -----------------
+    # PIXEL-MAJOR layout: each parent's B wavelength children are
+    # ADJACENT (index = pixel·B + bin).  Dispersion spreads the bins only
+    # slightly, so a 4096-lane kernel tile holds 512 neighboring parents
+    # instead of 4096 unrelated ones — the difference between a usable
+    # bounce cone and a bounding ball.  jnp.repeat(x, B, axis=0) is a
+    # broadcast+reshape, not a gather.
     n_face = jnp.where(dot(nrm, rays0.direction)[..., None] > 0.0,
                        -nrm, nrm)
-    wl_b = jnp.arange(B, dtype=jnp.int32)                     # [B]
-    ior_b = spectral.cauchy_ior(scene.mat_ior[midx][None].repeat(B, 0)
-                                .reshape(B * npix, 2),
-                                jnp.repeat(wl_b, npix))       # [B*npix]
 
-    def tileB(x):
-        return jnp.tile(x, (B,) + (1,) * (x.ndim - 1))
+    def repB(x):
+        return jnp.repeat(x, B, axis=0)
 
-    dirB, nfB = tileB(rays0.direction), tileB(n_face)
+    wl = jnp.tile(jnp.arange(B, dtype=jnp.int32), (npix,))   # [npix*B]
+    pixel = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), B)
+    ior_b = spectral.cauchy_ior(repB(scene.mat_ior[midx]), wl)
+
+    dirB, nfB = repB(rays0.direction), repB(n_face)
     n1 = jnp.ones((B * npix,), jnp.float32)
     R, refl_dir, refr_dir, tir = spectral.fresnel(dirB, nfB, n1, ior_b)
 
-    hitB, mirB, dielB = tileB(hit), tileB(is_mirror), tileB(is_diel)
-    reflB = tileB(refl)
-    remaining = tileB(jnp.maximum(rays0.length - res.t, 0.0))
-    surf = tileB(rays0.at(res.t))
-    epsB = tileB(eps)
-    pixel = jnp.tile(jnp.arange(npix, dtype=jnp.int32), (B,))
-    wl = jnp.repeat(wl_b, npix)
+    hitB, mirB, dielB = repB(hit), repB(is_mirror), repB(is_diel)
+    reflB = repB(refl)
+    remaining = repB(jnp.maximum(rays0.length - res.t, 0.0))
+    surf = repB(rays0.at(res.t))
+    epsB = repB(eps)
 
     T0 = jnp.float32(1.0 / B)
     refl_T = T0 * jnp.where(mirB, reflB, jnp.where(dielB, R, 0.0))
@@ -313,7 +358,7 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     a_origin = surf + 3.0 * epsB[..., None] * nfB
 
     bfilt = spectral.bin_rgb(wl)
-    tintB = tileB(scene.mat_tint[midx])
+    tintB = repB(scene.mat_tint[midx])
     tint = (jnp.sum(bfilt * tintB, axis=-1)
             / jnp.maximum(jnp.sum(bfilt, axis=-1), 1e-6))
     refr_T = T0 * jnp.where(dielB, (1.0 - R) * tint, 0.0)
@@ -333,20 +378,36 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     child_b = mk(b_origin, refr_dir, refr_T, b_act,
                  jnp.ones((B * npix,), bool))
 
-    # compact 2·B·npix → C = B·npix (same 3-class partition as _bounce)
+    # compact 2·B·npix → C = B·npix (same 3-class partition as _bounce,
+    # block-granular on the TPU fast path)
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                         child_a, child_b)
     low = both.active & (both.throughput < cfg.overflow_drop_threshold)
     klass = (~both.active).astype(jnp.int32) * 2 + low.astype(jnp.int32)
-    order = jnp.argsort(klass, stable=True)
-    q = jax.tree.map(lambda x: x[order[:B * npix]], both)
+    C = B * npix
+    from .pallas.gather import BLOCK, flat_block_gather
+    if cfg.march.backend == "pallas" and C % BLOCK == 0:
+        blockk = jnp.min(klass.reshape(-1, BLOCK), axis=1)
+        keep = jnp.argsort(blockk, stable=True)[:C // BLOCK] \
+            .astype(jnp.int32)
+
+        def g(x):
+            if x.dtype == jnp.bool_:
+                return flat_block_gather(x.astype(jnp.int32), keep,
+                                         C // BLOCK).astype(jnp.bool_)
+            return flat_block_gather(x, keep, C // BLOCK)
+
+        q = jax.tree.map(g, both)
+    else:
+        order = jnp.argsort(klass, stable=True)
+        q = jax.tree.map(lambda x: x[order[:C]], both)
 
     for bounce in range(1, cfg.depth):
         q, image, n_m = _bounce(scene, q, image, cfg,
                                 is_last=(bounce == cfg.depth - 1))
         n_rays = n_rays + n_m
 
-    return image.reshape(height, width, 3), n_rays
+    return finish(image), n_rays
 
 
 def render_spectral(scene: FlatScene, camera, width: int, height: int,
