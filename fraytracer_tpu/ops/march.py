@@ -102,6 +102,15 @@ class MarchConfig:
     # shadow tiles cut that spread.  (Measured on v5e: smaller shadow
     # tiles LOSE — per-tile prologue work dominates the cone gain.)
     shadow_tile_sub: int = 0
+    # Running-min early-out inside the candidate window scan (the
+    # reference's sorted nearest-first stop, SdfBoundary.fs:266-268).
+    # Exact either way (it only skips chunks that provably cannot change
+    # the group min).  Measured on v5e at the benchmark: OFF is ~9% faster
+    # per frame — the per-chunk-iteration scalar sync (SMEM suffix-min
+    # read + cross-lane running-max) costs more than the chunk evals it
+    # saves at today's window widths.  Keep available for wider-window
+    # scenes.
+    cull_early_out: bool = False
     # Backward-pass candidate sizing (implicit-diff VJP, point_eval): the
     # gradient only needs the scene SDF's local argmin neighborhood at
     # each hit point, so the backward's [tile, m] candidate matrices can

@@ -682,7 +682,8 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                   cull_pairs: Tuple = (), cull_m: int = 0,
                   omega: float = 1.0, mode: str = "march",
                   mat_vis: Tuple[int, ...] = (), has_sign: bool = False,
-                  debug_window: bool = False, step_unroll: int = 1):
+                  debug_window: bool = False, step_unroll: int = 1,
+                  early_out: bool = False):
     """Build the pallas kernel fn for a scene structure.  Cached.
 
     ``mode`` selects the program: ``"march"`` = the sphere-trace loop
@@ -867,12 +868,16 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
                 def wcond(carry):
                     cb, acc, amax = carry
-                    if NO_EARLYOUT or g_op == "max":
+                    if NO_EARLYOUT or g_op == "max" or not early_out:
                         return cb < cb_hi
                     return jnp.logical_and(
                         cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cb])
 
                 red0 = _BIG if g_op == "min" else -_BIG
+                # the running-max cross-lane reduction feeds ONLY the
+                # early-out condition — skip it (and its scalar sync)
+                # entirely when the early-out is off
+                use_eo = early_out and not NO_EARLYOUT and g_op == "min"
 
                 if SCALAR_CAND:
                     def wbody(carry):
@@ -884,7 +889,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                             dk = fn(s, px, py, pz)
                             acc = jnp.minimum(acc, dk) if g_op == "min" \
                                 else jnp.maximum(acc, dk)
-                        amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
+                        amax = (jnp.max(jnp.where(active > 0.0, acc,
+                                                  -_BIG))
+                                if use_eo else jnp.float32(0.0))
                         return cb + 1, acc, amax
                 else:
                     def wbody(carry):
@@ -896,7 +903,9 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                             acc = jnp.minimum(acc, jnp.min(d, axis=0))
                         else:
                             acc = jnp.maximum(acc, jnp.max(d, axis=0))
-                        amax = jnp.max(jnp.where(active > 0.0, acc, -_BIG))
+                        amax = (jnp.max(jnp.where(active > 0.0, acc,
+                                                  -_BIG))
+                                if use_eo else jnp.float32(0.0))
                         return cb + 1, acc, amax
 
                 _cb, win, _am = jax.lax.while_loop(
@@ -1754,7 +1763,8 @@ def pallas_march_raw(scene: FlatScene, rays: Rays, cfg: MarchConfig,
         "occlusion" if occlusion else "march", mat_vis,
         has_sign=sign is not None,
         debug_window=getattr(cfg, "debug_window_stats", False),
-        step_unroll=getattr(cfg, "step_unroll", 1))
+        step_unroll=getattr(cfg, "step_unroll", 1),
+        early_out=getattr(cfg, "cull_early_out", False))
     sign_in = [pad1(sign, 1.0)] if sign is not None else []
 
     # per-tile candidate tables + axial window keys for each culled pair
