@@ -352,7 +352,15 @@ def main() -> int:
                               "tools", "scaling_report.py"), "256", "100"],
                 capture_output=True, timeout=420)
             line = out.stdout.decode().strip().splitlines()[-1]
-            result.update(json.loads(line))
+            extra = json.loads(line)
+            # guard against key clobber (round-4 bug: the scaling report's
+            # "image_size"/"n_tori" overwrote the headline workload fields)
+            protected = {"metric", "value", "unit", "vs_baseline",
+                         "image_size", "n_tori", "n_rays", "n_rays_primary"}
+            result.update({k: v for k, v in extra.items()
+                           if k not in protected})
+            assert result["image_size"] == args.size, "workload field clobbered"
+            assert result["n_tori"] == args.tori, "workload field clobbered"
             emit(result)
         except Exception as e:  # never fail the bench over the report
             log(f"scaling report skipped: {type(e).__name__}: {e}")

@@ -494,11 +494,22 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
         tan_conv = jnp.full(margin.shape, -1.0)
     else:
         # converging mode: lateral reach is α·tan_conv (docstring) — the
-        # origin spread is carried by the tangent, not a radius margin
-        margin = 2.0 * eps_max + 1e-3
+        # origin spread is carried by the tangent, not a radius margin.
+        # The α·tan bound is only valid when every active origin sits on
+        # the POSITIVE axial side of the apex (the segment origin→apex
+        # then lives in α ∈ [0, o_par] where λ = α·λ_i/o_par_i).  A lane
+        # with o_par < 0 marches through the α<0 half-space, where the
+        # bound gives zero lateral reach and would exclude real occluders
+        # (advisor r4 high: false light leaks on tiles straddling a point
+        # light) — such tiles fall back to the wedge/ball test
+        # (tan_conv = -1 sentinel, margin restored to carry rho).
         lam = jnp.sqrt(rho2)                                     # [G,T]
         tan_l = lam / jnp.maximum(o_par, 1e-6)
-        tan_conv = jnp.max(jnp.where(act > 0.0, tan_l, 0.0), axis=1)
+        tan_c = jnp.max(jnp.where(act > 0.0, tan_l, 0.0), axis=1)
+        has_neg = jnp.any((act > 0.0) & (o_par < 0.0), axis=1)
+        margin = jnp.where(has_neg, rho + 2.0 * eps_max + 1e-3,
+                           2.0 * eps_max + 1e-3)
+        tan_conv = jnp.where(has_neg, -1.0, tan_c)
     return TileCones(apex, axis, cos_half, cos_lo, t_min, max_len, margin,
                      any_active, o_off_lo, o_off_hi, eps_max,
                      ax_lo, ax_hi, tan_conv)
@@ -538,18 +549,24 @@ def _cand_mask(bounds: Array, cones: TileCones,
     v2 = jnp.sum(v * v, axis=-1)
     p = jnp.sqrt(jnp.maximum(v2 - a * a, 0.0))
     near = v2 <= r * r
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
+    ml = cones.max_len[:, None]
+    t_reach = jnp.where(
+        cones.cos_lo[:, None] > 0.0,
+        jnp.clip((a + r - cones.o_off_lo[:, None])
+                 / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
+        ml)
+    wedge_ok = near | (p <= r + sin_half[:, None] * t_reach)
     if converging:
+        # per-tile select: tiles whose origins straddle the apex carry the
+        # tan_conv = -1 sentinel (see _tile_cones) and use the wedge/ball
+        # test — their margin already carries rho, so wedge_ok is sound
         reach = jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None]
-        lateral_ok = near | (p <= r + reach)
+        conv_ok = near | (p <= r + reach)
+        lateral_ok = jnp.where(cones.tan_conv[:, None] >= 0.0,
+                               conv_ok, wedge_ok)
     else:
-        sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half ** 2, 0.0))
-        ml = cones.max_len[:, None]
-        t_reach = jnp.where(
-            cones.cos_lo[:, None] > 0.0,
-            jnp.clip((a + r - cones.o_off_lo[:, None])
-                     / jnp.maximum(cones.cos_lo, 1e-6)[:, None], 0.0, ml),
-            ml)
-        lateral_ok = near | (p <= r + sin_half[:, None] * t_reach)
+        lateral_ok = wedge_ok
     return lateral_ok \
         & (a + r >= cones.ax_lo[:, None]) \
         & (a - r <= cones.ax_hi[:, None]) \
@@ -975,7 +992,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
     def surface_eval_slot(param_refs, gid_ref, mat_ref, pair_refs,
                           pair_consts, dense_consts, px, py, pz, t, oa,
-                          ca, hitm):
+                          ca, hitm, eps_v):
         """Slot-mode surface pass: CSG min/max selects exactly one leaf, so
         track the winning leaf's signed slot code through the plan tree,
         then recover its gradient with ONE masked-cotangent vjp sweep over
@@ -1073,6 +1090,23 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
             # overflow handled host-side (see _build_kernel docstring)
             bd, bs, md, ms = culled_sp(0)
             g = groups[gid]
+            if g.op == "max":
+                # excluded-member floor, mirroring the march's 'excl'
+                # (advisor r4 high): when the cone excluded members
+                # (count < group size), every excluded distance is
+                # > margin ≥ 2·eps from the reachable set, so the true
+                # group max exceeds the hit shell there — floor the
+                # scanned max at 2·eps with code 0 ("no leaf") so an
+                # underestimated (possibly negative) culled max cannot
+                # win the CSG tree with a fabricated winning leaf.  At
+                # genuine hit lanes a floored group always loses the
+                # tree (root ≤ eps < 2·eps), so normals/materials of
+                # real hits are exactly those of the dense pass.
+                g_size = row_hi - row_lo
+                count = pair_consts[pi][3]
+                low = (count < float(g_size)) & (bd < 2.0 * eps_v)
+                bd = jnp.where(low, 2.0 * eps_v, bd)
+                bs = jnp.where(low, 0.0, bs)
             if g.op == "min":
                 better = bd < vs[gid][0]
             else:
@@ -1239,7 +1273,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
     # ---- surface pass (AD mode): value + gradient + material -------------
 
     def surface_eval(param_refs, gid_ref, mat_ref, pair_refs, pair_consts,
-                     dense_consts, px, py, pz, t, oa, ca, hitm):
+                     dense_consts, px, py, pz, t, oa, ca, hitm, eps_v):
         """At the (backed-off) hit points: per-group (value, ∇value) plus
         the global material argmin over material-visible primitives.
         Window bounds come from the hit lanes' t-range; the window clamp
@@ -1534,7 +1568,7 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         ev = surface_eval_slot if slot_mode else surface_eval
         gx, gy, gz, ms, code = ev(param_refs, gid_ref, mat_ref, pair_refs,
                                   pair_consts, dense_consts,
-                                  px, py, pz, t, oa, ca, hitm)
+                                  px, py, pz, t, oa, ca, hitm, eps)
         inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
         nx_out[:, :] = jnp.where(hitm, gx * inv, 0.0)
         ny_out[:, :] = jnp.where(hitm, gy * inv, 0.0)

@@ -426,3 +426,92 @@ def test_relaxed_march_equivalent():
         assert tdiff.max() < 3 * 0.01  # within the epsilon shell
     assert int(np.asarray(relaxed.steps).max()) <= \
         int(np.asarray(base.steps).max())
+
+
+def test_occlusion_converging_cone_mixed_side_exact():
+    """Shadow tiles whose origins STRADDLE the point light: lanes on the
+    negative axial side of the apex march through the half-space where the
+    converging-cone reach formula gives zero lateral reach, so without the
+    per-tile wedge fallback their occluders are excluded from the candidate
+    table — false 'unoccluded' light leaks (advisor r4 high).  Every
+    far-side lane here passes through a fat occluder, so the converging
+    path must report them occluded exactly like the plain path."""
+    from fraytracer_tpu.ops.march import march_occlusion
+    rng = np.random.default_rng(7)
+    light = np.array([0.0, 0.0, 0.0])
+    n = 1024
+    # majority side: origins scattered around (0, 0, -3), aiming at the
+    # light — these dominate the tile's mean direction (axis ≈ -z after
+    # the converging flip)
+    o = rng.normal(scale=0.3, size=(n, 3)) + np.array([0.0, 0.0, -3.0])
+    # far side: 48 lanes at (2, 0, 3) — OPPOSITE side of the light along
+    # the axis (o_par < 0), each blocked by an occluder at the segment
+    # midpoint (1, 0, 1.5), laterally 1.0 off the light axis
+    far = np.arange(0, 48)
+    o[far] = np.array([2.0, 0.0, 3.0]) + rng.normal(scale=0.05,
+                                                    size=(48, 3))
+    diff = light - o
+    dist = np.linalg.norm(diff, axis=-1)
+    d = diff / dist[:, None]
+    rays = ft.types.Rays(
+        origin=jnp.asarray(o, jnp.float32),
+        direction=jnp.asarray(d, jnp.float32),
+        length=jnp.asarray(dist, jnp.float32),
+        epsilon=jnp.full((n,), 0.01, jnp.float32))
+    # scene: 97 spheres in one union group (⇒ a culled pair); most far
+    # away, plus a fat occluder on the far-side lanes' segments and one
+    # decoy near the majority origins — WITHOUT it the root bound misses
+    # the majority lanes entirely, bound-skip deactivates them, and the
+    # tile cone collapses to the far side (no straddling ⇒ no repro)
+    spheres = [ft.sphere(tuple(c), 0.4) for c in
+               rng.normal(scale=0.5, size=(95, 3)) + np.array([8.0, 8.0, 8.0])]
+    spheres.append(ft.sphere((1.0, 0.0, 1.5), 0.45))
+    spheres.append(ft.sphere((-1.2, 0.0, -2.5), 0.3))
+    scene = ft.flatten(ft.Scene(root=ft.union(*spheres)))
+    cfg = MarchConfig(backend="pallas_interpret", max_steps=192,
+                      cull=True, cull_threshold=64, cull_m=128)
+    occ_plain = np.asarray(march_occlusion(scene, rays, cfg))
+    occ_conv = np.asarray(
+        march_occlusion(scene, rays, cfg, cone_apex=jnp.asarray(light)))
+    assert occ_plain[far].all(), "sanity: far-side lanes must be occluded"
+    # deep (non-grazing) occlusions: the converging path must agree exactly
+    np.testing.assert_array_equal(occ_conv[far], occ_plain[far])
+
+
+def test_surface_max_group_excluded_member_floor():
+    """Slot-mode surface pass on a scene where a culled intersect group has
+    cone-EXCLUDED members at the hit tiles (advisor r4 high): the scanned
+    group max underestimates the true max (can go negative inside the
+    scanned members) and without the excluded-member floor it wrongly wins
+    the union against the sphere the rays actually hit — flipping 100% of
+    normals.  The floor (2·eps, code 0) restores exact parity with the
+    dense reference."""
+    from fraytracer_tpu.ops import sdf
+    from fraytracer_tpu.ops.march import march_surface
+    from fraytracer_tpu.ops.pallas.march_kernel import _cull_pairs
+    rng = np.random.default_rng(5)
+    # 256 fat spheres all containing the origin region (their pairwise
+    # intersection covers the unit ball) + 8 far members that empty the
+    # intersection and are cone-excluded at the camera tiles.  256 is a
+    # CAND_UNROLL multiple, so the scan stops exactly at the candidates.
+    members = [ft.sphere(tuple(c), 2.0) for c in
+               rng.uniform(-0.3, 0.3, size=(256, 3))]
+    members += [ft.sphere(tuple(c), 1.0) for c in
+                rng.normal(scale=0.5, size=(8, 3)) + 40.0]
+    target = ft.sphere((0, 0, 0), 1.0, material=ft.solid(0.9, 0.2, 0.1))
+    scene = ft.flatten(ft.Scene(root=ft.union(
+        ft.intersect(*members), target)))
+    pairs = _cull_pairs(scene.kind_counts, scene.plan, 192)
+    assert any(p[4] - p[3] == 264 for p in pairs), \
+        "the 264-member intersect must form a cull pair"
+    rays = flat_camera_rays(32, 32, pos=(0, 0, -6))
+    cfg = MarchConfig(backend="pallas_interpret", max_steps=192,
+                      cull=True, cull_threshold=192, cull_m=512)
+    res, nrm, midx = march_surface(scene, rays, cfg)
+    h = np.asarray(res.hit)
+    assert h.mean() > 0.05, "sanity: rays must hit the target sphere"
+    pos = rays.at(res.t - rays.epsilon)
+    n_ref = np.asarray(sdf.scene_normal(scene, pos))
+    m_ref, _ = sdf.material_at(scene, pos)
+    assert np.abs(np.asarray(nrm) - n_ref)[h].max() < 1e-3
+    assert (np.asarray(midx)[h] == np.asarray(m_ref)[h]).all()

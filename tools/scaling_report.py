@@ -76,8 +76,11 @@ def main() -> int:
         "t_single_s": round(t_single, 4),
         "t_sharded_s": round(t_shard, 4),
         "mesh_devices": 8,
-        "image_size": size,
-        "n_tori": tori,
+        # namespaced: bench.py merges this dict into the headline record and
+        # bare "image_size"/"n_tori" would clobber the benchmark workload
+        # fields (round-4 reporting bug)
+        "scaling_image_size": size,
+        "scaling_n_tori": tori,
     }))
     return 0
 
