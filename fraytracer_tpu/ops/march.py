@@ -398,7 +398,9 @@ def march(scene: FlatScene, rays: Rays,
 
 
 def occlusion_compacted(scene: FlatScene, rays: Rays, active: Array,
-                        cfg: MarchConfig = MarchConfig()) -> Array:
+                        cfg: MarchConfig = MarchConfig(),
+                        cone_apex: Array | None = None,
+                        axial_key: Array | None = None) -> Array:
     """``march_occlusion`` with active-lane compaction.
 
     ``active [batch] bool`` marks lanes that actually march (facing hits;
@@ -407,8 +409,11 @@ def occlusion_compacted(scene: FlatScene, rays: Rays, active: Array,
     stay adjacent, so packed tiles keep coherent cones), the occlusion
     kernel runs over the packed buffer — trailing all-inactive tiles exit
     their while_loop after zero iterations — and the hit mask is scattered
-    back.  Exact: a permutation changes neither stepping nor termination
-    of any lane."""
+    back.  A permutation changes neither stepping nor termination of any
+    lane, so the hit set matches ``march_occlusion`` on the same inputs.
+    ``cone_apex``/``axial_key`` pass through to it (the key is permuted
+    alongside the rays) so compaction does not silently drop the
+    converging-cone selection or the axial sort (advisor r4 low)."""
     sg = jax.lax.stop_gradient
     rays, active = sg(rays), sg(active)
     batch = rays.batch_shape
@@ -423,7 +428,10 @@ def occlusion_compacted(scene: FlatScene, rays: Rays, active: Array,
     src = jnp.zeros((n,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32))             # packed slot → lane
     packed = jax.tree.map(lambda x: x[src], flat)
-    occ_packed = march_occlusion(scene, packed, cfg)
+    key_packed = None if axial_key is None else \
+        sg(axial_key).reshape(-1)[src]
+    occ_packed = march_occlusion(scene, packed, cfg, cone_apex=cone_apex,
+                                 axial_key=key_packed)
     return occ_packed[dest].reshape(batch)
 
 
@@ -450,7 +458,12 @@ def march_occlusion(scene: FlatScene, rays: Rays,
     ``tryTrace``) need no exact hit distance, no last-distance output and
     no surface info — this runs the kernel's occlusion variant, whose hit
     set is *identical* to ``march(...).hit`` (same stepping, same
-    termination; see tests/test_pallas_march.py).  Boolean output → no
+    termination; see tests/test_pallas_march.py) — except under
+    ``cone_apex``, where the different candidate tables change the
+    per-step window CAPS and therefore the sample points: grazing
+    (epsilon-shell) lanes may legally flip hit/miss relative to the
+    apex-less march (bounded in the converging-cone test).  Boolean
+    output → no
     gradient; inputs are detached so reverse-mode AD never differentiates
     through the loop (hard shadows are binary in the reference too,
     SdfScene.fs:18-23)."""

@@ -182,7 +182,8 @@ def shade_with_stats(scene: FlatScene, rays: Rays, hit: SurfaceHit,
             apex = None
             akey = dot(hit.position, ldir)     # ldir constant per lane
         if cfg.shadow_compact and cfg.backend.startswith("pallas"):
-            occluded = occlusion_compacted(scene, shadow_rays, facing, cfg)
+            occluded = occlusion_compacted(scene, shadow_rays, facing, cfg,
+                                           cone_apex=apex, axial_key=akey)
         else:
             occluded = march_occlusion(scene, shadow_rays, cfg,
                                        cone_apex=apex, axial_key=akey)

@@ -71,6 +71,20 @@ class WavefrontConfig:
     overflow_drop_threshold: float = 0.05
 
 
+def block_compact_key(klass: Array, block: int) -> Array:
+    """Per-block sort key for block-granular queue compaction.
+
+    ``klass [2C]`` ∈ {0: active+meaningful, 1: active+low-throughput,
+    2: dead}.  Blocks are ranked by how much shippable energy they carry:
+    key = −Σ(2 − klass) — fully-meaningful blocks first, fully-dead last.
+    A density (count-based) key, NOT the min-lane class: ranking by the
+    best lane in the block kept sparse blocks (one live lane + 127 dead)
+    ahead of dense ones, so when class-0 lanes spanned more than C/block
+    blocks the drop discarded dense active blocks (advisor r4 low)."""
+    w = 2 - klass.reshape(-1, block)
+    return -jnp.sum(w, axis=1)
+
+
 def _shade_local(scene: FlatScene, pos: Array, normal: Array,
                  eps: Array, cfg: WavefrontConfig):
     """Direct lighting at hit points (Lambert + hard shadows), RGB [...,3],
@@ -224,10 +238,10 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
         # applied with the DMA-speed Pallas gather — XLA's element-level
         # gather of the 2C queue costs ~25 ms per field (≈300 ms/round);
         # this runs at HBM bandwidth.  A kept block may carry some dead
-        # lanes (they march as no-ops); a dropped block may carry actives
-        # only when more than C/BLOCK blocks contain class-0 lanes — the
+        # lanes (they march as no-ops); on overflow the DENSEST active
+        # blocks are kept (energy-count key, see block_compact_key) — the
         # same bounded-energy drop policy, one granularity coarser.
-        blockk = jnp.min(klass.reshape(-1, BLOCK), axis=1)
+        blockk = block_compact_key(klass, BLOCK)
         keep = jnp.argsort(blockk, stable=True)[:C // BLOCK] \
             .astype(jnp.int32)
         nb = C // BLOCK

@@ -135,3 +135,28 @@ def test_inactive_queue_is_stable():
         WavefrontConfig(depth=4, epsilon=0.01, length=20.0, march=MARCH)))
     np.testing.assert_allclose(
         img, np.broadcast_to([0.2, 0.3, 0.4], (8, 8, 3)), atol=2e-5)
+
+
+def test_block_compact_key_prefers_dense_active_blocks():
+    """Block-granular overflow policy (advisor r4 low): when class-0 lanes
+    span more blocks than capacity, the kept set must be the DENSEST
+    active blocks — a count-based key, not the per-block min class (which
+    ranked a 1-active/127-dead block equal to a fully active one and then
+    dropped by position)."""
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops.wavefront import block_compact_key
+    B = 4          # small block for the test
+    # blocks: [all class0] [1×class0+3 dead] [all class0] [all low] [dead]
+    klass = jnp.asarray(
+        [0, 0, 0, 0,   0, 2, 2, 2,   0, 0, 0, 0,   1, 1, 1, 1,  2, 2, 2, 2],
+        jnp.int32)
+    key = block_compact_key(klass, B)
+    order = np.argsort(np.asarray(key), kind="stable")
+    # capacity 2 blocks: must keep the two fully-active blocks (0 and 2)
+    assert set(order[:2].tolist()) == {0, 2}
+    # low-throughput block outranks the sparse active one? No: one
+    # meaningful lane (weight 2) + dead vs four low lanes (weight 1 each):
+    # 2 < 4 → the low block ranks ahead — energy-count semantics
+    assert order[2] == 3 and order[3] == 1 and order[4] == 4
+    # fully dead block is always last
+    assert np.asarray(key)[4] == 0 and (np.asarray(key)[:4] < 0).all()
