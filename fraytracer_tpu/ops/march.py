@@ -130,6 +130,22 @@ class MarchConfig:
     # every data-dependent reorder near-serially on this backend — so this
     # defaults off like the per-lane variant (occlusion_compacted).
     shadow_axial_sort: bool = False
+    # Block-granular shadow re-tiling (pallas backend, directional lights):
+    # permute the occlusion batch at (8,128)-BLOCK granularity (1024 lanes,
+    # 4 KB slices — the Pallas scalar-prefetch gather runs at DMA speed,
+    # unlike the measured-dead row/lane XLA gathers), ordering blocks by
+    # their minimum active axial key.  Tiles then span a narrow range
+    # along the light axis, so the kernel's per-step candidate windows
+    # stop paying for the tile's surface-depth spread (round-4 frame
+    # decomposition: directional-shadow windows averaged 77 candidates
+    # vs 29 for primaries).  Sub-cone candidacy (SUBF=4 → one sub-cone
+    # per source block) keeps lateral membership as tight as the original
+    # screen-local tiles.  All-inactive blocks sort to the end and their
+    # tiles exit immediately (free compaction).  Pure permutation of
+    # lanes → the hit set is exactly the unsorted call's.  Applied only
+    # when cone_apex is None: point-light tiles rely on the converging
+    # cone, which needs direction-coherent (screen-local) tiles.
+    shadow_block_sort: bool = True
     # March steps executed per while_loop iteration (pallas backend).
     # Measured on v5e at the benchmark: unrolling did NOT pay — per-step
     # cost rose ~10-15% (bigger Mosaic program; the loop-condition check
@@ -486,6 +502,37 @@ def march_occlusion(scene: FlatScene, rays: Rays,
             jnp.broadcast_to(sign, batch).reshape(-1)
         n = flat.origin.shape[0]
         LANE = 128
+        from .pallas.gather import BLOCK, flat_block_gather
+        interp = cfg.backend == "pallas_interpret"
+        bsort = (cfg.shadow_block_sort and axial_key is not None
+                 and cone_apex is None and n % BLOCK == 0
+                 and n // BLOCK > 1)
+        if bsort:
+            nb = n // BLOCK
+            actb = flat.length.reshape(nb, BLOCK) > 0.0
+            keyb = jnp.where(actb, sg(axial_key).reshape(nb, BLOCK),
+                             jnp.inf)
+            # min over active lanes; all-inactive blocks sort to the end
+            bkey = jnp.min(keyb, axis=1)
+            perm = jnp.argsort(bkey).astype(jnp.int32)
+            inv = jnp.argsort(perm).astype(jnp.int32)
+
+            def bpermute(x):
+                if x.dtype == jnp.bool_:
+                    return flat_block_gather(
+                        x.astype(jnp.int32), perm, nb,
+                        interpret=interp).astype(jnp.bool_)
+                return flat_block_gather(x, perm, nb, interpret=interp)
+
+            flat = jax.tree.map(bpermute, flat)
+            if sign_flat is not None:
+                sign_flat = bpermute(sign_flat)
+            hit = pallas_march_raw(
+                scene, flat, cfg, interpret=interp,
+                sign=sign_flat, occlusion=True, cone_apex=cone_apex)
+            hit = flat_block_gather(hit.astype(jnp.int32), inv, nb,
+                                    interpret=interp) > 0
+            return hit.reshape(batch)
         sort = (cfg.shadow_axial_sort and axial_key is not None
                 and n % LANE == 0 and n // LANE > 1)
         if sort:

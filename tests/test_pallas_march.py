@@ -515,3 +515,36 @@ def test_surface_max_group_excluded_member_floor():
     m_ref, _ = sdf.material_at(scene, pos)
     assert np.abs(np.asarray(nrm) - n_ref)[h].max() < 1e-3
     assert (np.asarray(midx)[h] == np.asarray(m_ref)[h]).all()
+
+
+def test_occlusion_block_sort_pure_permutation():
+    """Block-granular shadow re-tiling (shadow_block_sort) is a pure
+    permutation of lanes: the hit set must equal the unsorted call's
+    exactly, for active sets that leave whole blocks dead (compaction
+    side effect) and spread origins (depth along the light axis)."""
+    from fraytracer_tpu.ops.march import march_occlusion
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=96))
+    rng = np.random.default_rng(9)
+    n = 4096  # 4 blocks of 1024
+    ldir = np.array([0.3, 0.9, 0.2])
+    ldir /= np.linalg.norm(ldir)
+    o = rng.normal(scale=1.5, size=(n, 3))
+    act = rng.uniform(size=n) > 0.3
+    act[1024:2048] = False  # one fully dead block
+    rays = ft.types.Rays(
+        origin=jnp.asarray(o, jnp.float32),
+        direction=jnp.broadcast_to(jnp.asarray(ldir, jnp.float32), (n, 3)),
+        length=jnp.asarray(np.where(act, 25.0, 0.0), jnp.float32),
+        epsilon=jnp.full((n,), 0.01, jnp.float32))
+    akey = jnp.asarray(o @ ldir, jnp.float32)
+    import dataclasses as dc
+    base = MarchConfig(backend="pallas_interpret", max_steps=192,
+                       cull=True, cull_threshold=64, cull_m=128)
+    off = np.asarray(march_occlusion(
+        scene, rays, dc.replace(base, shadow_block_sort=False),
+        axial_key=akey))
+    on = np.asarray(march_occlusion(
+        scene, rays, dc.replace(base, shadow_block_sort=True),
+        axial_key=akey))
+    assert off.sum() > 0, "sanity: some occlusions"
+    np.testing.assert_array_equal(on, off)
