@@ -130,22 +130,26 @@ class MarchConfig:
     # every data-dependent reorder near-serially on this backend — so this
     # defaults off like the per-lane variant (occlusion_compacted).
     shadow_axial_sort: bool = False
-    # Block-granular shadow re-tiling (pallas backend, directional lights):
-    # permute the occlusion batch at (8,128)-BLOCK granularity (1024 lanes,
-    # 4 KB slices — the Pallas scalar-prefetch gather runs at DMA speed,
-    # unlike the measured-dead row/lane XLA gathers), ordering blocks by
-    # their minimum active axial key.  Tiles then span a narrow range
-    # along the light axis, so the kernel's per-step candidate windows
-    # stop paying for the tile's surface-depth spread (round-4 frame
-    # decomposition: directional-shadow windows averaged 77 candidates
-    # vs 29 for primaries).  Sub-cone candidacy (SUBF=4 → one sub-cone
-    # per source block) keeps lateral membership as tight as the original
-    # screen-local tiles.  All-inactive blocks sort to the end and their
-    # tiles exit immediately (free compaction).  Pure permutation of
-    # lanes → the hit set is exactly the unsorted call's.  Applied only
-    # when cone_apex is None: point-light tiles rely on the converging
-    # cone, which needs direction-coherent (screen-local) tiles.
-    shadow_block_sort: bool = True
+    # Block-granular AXIAL re-tiling of occlusion batches ((8,128)-BLOCK
+    # granularity via the Pallas scalar-prefetch gather; directional
+    # lights only).  Measured on v5e at the benchmark: LOSES — sorting
+    # rays by axial position also makes their candidates axially
+    # coincident, so per-step windows WIDEN (59.9 → 93.1 mean) and the
+    # frame regresses 46.4 → 50.8 ms; screen-local tiles already bound
+    # candidate membership better via the sub-cone OR.  Kept as a knob
+    # because the permutation is exact and other scenes may differ.
+    shadow_block_sort: bool = False
+    # Block-granular ACTIVITY compaction of occlusion batches: stable-sort
+    # (8,128) blocks by "has any active lane", so fully non-facing 32×32
+    # pixel blocks (after render.py's block permutation each 1024-lane
+    # block IS one screen tile) move to the tail where their kernel tiles
+    # exit after zero march iterations.  Order among active blocks is
+    # unchanged → tiles stay screen-local (cones/sub-cones unaffected in
+    # the common all-active case) and the converging point-light cone
+    # still applies.  Pure permutation → exact.  At the benchmark ~28%
+    # of lanes face the light and activity is spatially clustered, so a
+    # large fraction of blocks is fully dead.
+    shadow_block_compact: bool = True
     # March steps executed per while_loop iteration (pallas backend).
     # Measured on v5e at the benchmark: unrolling did NOT pay — per-step
     # cost rose ~10-15% (bigger Mosaic program; the loop-condition check
@@ -507,14 +511,20 @@ def march_occlusion(scene: FlatScene, rays: Rays,
         bsort = (cfg.shadow_block_sort and axial_key is not None
                  and cone_apex is None and n % BLOCK == 0
                  and n // BLOCK > 1)
-        if bsort:
+        bcompact = (cfg.shadow_block_compact and not bsort
+                    and n % BLOCK == 0 and n // BLOCK > 1)
+        if bsort or bcompact:
             nb = n // BLOCK
             actb = flat.length.reshape(nb, BLOCK) > 0.0
-            keyb = jnp.where(actb, sg(axial_key).reshape(nb, BLOCK),
-                             jnp.inf)
-            # min over active lanes; all-inactive blocks sort to the end
-            bkey = jnp.min(keyb, axis=1)
-            perm = jnp.argsort(bkey).astype(jnp.int32)
+            if bsort:
+                keyb = jnp.where(actb, sg(axial_key).reshape(nb, BLOCK),
+                                 jnp.inf)
+                # min over active lanes; all-inactive blocks sort last
+                bkey = jnp.min(keyb, axis=1)
+            else:
+                # activity only: dead blocks last, active order unchanged
+                bkey = jnp.where(jnp.any(actb, axis=1), 0.0, 1.0)
+            perm = jnp.argsort(bkey, stable=True).astype(jnp.int32)
             inv = jnp.argsort(perm).astype(jnp.int32)
 
             def bpermute(x):

@@ -355,13 +355,13 @@ def _cull_pairs(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
         slot_gid[list(g.slots)] = g.gid
 
     pairs = []
-    has_sumexp = any(g.op == "sumexp" for g in groups)
     for g in groups:
-        # 'min' (union) groups always cull; 'max' (intersect) groups cull
-        # via the symmetric skip-bound scheme (see culled_pass) — but only
-        # in slot-surface scenes (the AD-mode surface pass has no max
-        # window variant; smooth unions force AD mode)
-        if g.op == "sumexp" or (g.op == "max" and has_sumexp):
+        # 'min' (union) groups cull via windows+caps; 'max' (intersect)
+        # groups via the symmetric skip bounds + excluded-member floor —
+        # in BOTH surface modes (the AD-mode surface pass gained its max
+        # window variant in round 5; previously any smooth union in the
+        # scene silently dropped intersect culling to the dense sweep)
+        if g.op == "sumexp":
             continue
         slots = np.sort(np.asarray(g.slots))
         for kind, cnt in kind_counts:
@@ -1329,35 +1329,47 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
 
             def culled_sp(_, cand_ref=cand_ref, keys_ref=keys_ref,
                           surf_clamp=surf_clamp,
-                          count=count, fn=fn, P=P, m=m, gid=gid):
+                          count=count, fn=fn, P=P, m=m, gid=gid,
+                          g_op=g_op, g_size=row_hi - row_lo):
                 # normal window margin: the hit shell only (8·eps, misc
-                # col 3) — far narrower than the march clamp; the argmin
-                # the normal depends on is within epsilon of a hit
-                w_lo, w_hi, cap, _phi, _slb = _pair_window(
+                # col 3) — far narrower than the march clamp; the arg-
+                # extremum the normal depends on is within epsilon of a
+                # hit.  Sound for 'max' (intersect) groups too: at a hit
+                # lane owned by the group every member satisfies d_j ≤
+                # eps — containing members (d_j < 0) can never be window-
+                # skipped (their bound contains the point) and the argmax
+                # owner (d ≈ 0) is inside the hit-shell window, so the
+                # windowed scan sees every candidate that can win there.
+                w_lo, w_hi, cap, _phi, skip_lb = _pair_window(
                     keys_ref, ca, surf_clamp, t, oa, hitm,
                     m // CAND_UNROLL)
+                mn = g_op == "min"
+                ex0 = _BIG if mn else -_BIG
 
                 def body(cb, carry):
                     c0 = cb * CAND_UNROLL
                     ss, ds = [], []
-                    dmin = jnp.full(shp, _BIG)
+                    dext = jnp.full(shp, ex0)
                     for k in range(CAND_UNROLL):
                         s = tuple(cand_ref[c0 + k, j] for j in range(P))
                         d = fn(s, px, py, pz)
                         ss.append(s)
                         ds.append(d)
-                        dmin = jnp.minimum(dmin, d)
+                        dext = jnp.minimum(dext, d) if mn \
+                            else jnp.maximum(dext, d)
                     # gradient + select only when some hit lane actually
                     # improves — fires for the few chunks holding the
                     # tile's true surface owners, so the pass costs ~one
                     # d-eval per window candidate, not a full AD sweep
+                    imp = (dext < carry[0]) if mn else (dext > carry[0])
                     any_better = jnp.max(jnp.where(
-                        (dmin < carry[0]) & hitm, 1.0, 0.0)) > 0.0
+                        imp & hitm, 1.0, 0.0)) > 0.0
 
                     def upd(carry):
                         bd, bgx, bgy, bgz = carry
                         for k in range(CAND_UNROLL):
-                            better = (ds[k] < bd) & hitm
+                            better = ((ds[k] < bd) if mn
+                                      else (ds[k] > bd)) & hitm
                             dv, gx, gy, gz = val_grad(fn, ss[k])
                             bd = jnp.where(better, dv, bd)
                             bgx = jnp.where(better, gx, bgx)
@@ -1368,15 +1380,27 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                     return jax.lax.cond(any_better, upd,
                                         lambda carry: carry, carry)
 
-                init = (jnp.full(shp, _BIG), jnp.zeros(shp),
+                init = (jnp.full(shp, ex0), jnp.zeros(shp),
                         jnp.zeros(shp), jnp.ones(shp))
                 bd, bgx, bgy, bgz = jax.lax.fori_loop(
                     w_lo, w_hi, body, init)
-                capped = cap < bd
-                bd = jnp.where(capped, cap, bd)
-                bgx = jnp.where(capped, 0.0, bgx)
-                bgy = jnp.where(capped, 0.0, bgy)
-                bgz = jnp.where(capped, 1.0, bgz)
+                if mn:
+                    # window-skipped mass lower-bounds the group min
+                    repl, rv = cap < bd, cap
+                else:
+                    # 'max' group: window-skipped chunks raise the max at
+                    # least to skip_lb, and cone-excluded members (count <
+                    # group size) to 2·eps — mirror the march's bounds so
+                    # the group value loses/wins the tree exactly like the
+                    # march's (zero-gradient there: no leaf owns it)
+                    excl = jnp.where(count < float(g_size),
+                                     2.0 * eps_v, -_BIG)
+                    floor = jnp.maximum(skip_lb, excl)
+                    repl, rv = floor > bd, floor
+                bd = jnp.where(repl, rv, bd)
+                bgx = jnp.where(repl, 0.0, bgx)
+                bgy = jnp.where(repl, 0.0, bgy)
+                bgz = jnp.where(repl, 1.0, bgz)
 
                 # material argmin: the winner can be arbitrarily far from
                 # the hit (a hit on a material-less cutter surface takes
