@@ -66,13 +66,15 @@ class MarchConfig:
     # count exceeds its table, the whole batch falls back to the dense
     # march via lax.cond — correct but slow, so size generously.
     cull_m: int = 256
-    # candidate slots for occlusion (shadow) marches: point-light shadow
-    # tiles straddling the light have near-omnidirectional cones whose
-    # conservative count reaches the full group size, so this defaults
-    # high enough that overflow is impossible and the lax.cond fallback
-    # is not even emitted; the axial windows + running-min early-out keep
-    # the per-step scan far below m
-    cull_m_shadow: int = 1024
+    # candidate slots for occlusion (shadow) marches.  The per-tile table
+    # build (top_k + row gathers) scales with m, so size to measured
+    # counts, not the group: at the 1024²/1000-tori benchmark the true
+    # max conservative count is 385 (dir) / 345 (point) and m=512 saves
+    # ~5.6 ms/frame over 1024 (round-5 probe_shadow_m).  Overflow arms
+    # the host-side lax.cond dense fallback — correct, but ~25 ms per
+    # occlusion when taken (measured at m=256), so keep ~25% headroom
+    # above the largest observed count.
+    cull_m_shadow: int = 512
     cull_threshold: int = 192   # min group size worth culling
     # Over-relaxed sphere tracing (pallas backend): step by omega·d with a
     # sound fallback — when the relaxed step leaves the union of the two
@@ -146,10 +148,12 @@ class MarchConfig:
     # exit after zero march iterations.  Order among active blocks is
     # unchanged → tiles stay screen-local (cones/sub-cones unaffected in
     # the common all-active case) and the converging point-light cone
-    # still applies.  Pure permutation → exact.  At the benchmark ~28%
-    # of lanes face the light and activity is spatially clustered, so a
-    # large fraction of blocks is fully dead.
-    shadow_block_compact: bool = True
+    # still applies.  Pure permutation → exact.  Measured on v5e at the
+    # benchmark: LOSES ~1.1 ms per occlusion — activity is clustered at
+    # TILE granularity already (639/1024 dead blocks collapse to almost
+    # the same dead-tile count), so the gathers buy nothing.  Off by
+    # default; useful for scenes with fragmented facing sets.
+    shadow_block_compact: bool = False
     # March steps executed per while_loop iteration (pallas backend).
     # Measured on v5e at the benchmark: unrolling did NOT pay — per-step
     # cost rose ~10-15% (bigger Mosaic program; the loop-condition check
