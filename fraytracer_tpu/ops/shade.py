@@ -36,7 +36,7 @@ Array = jax.Array
 
 
 def resolve_material(scene: FlatScene, pos: Array, hit: Array,
-                     midx: Array) -> Array:
+                     midx: Array, backend: str = "jnp") -> Array:
     """Repair ``midx == -1`` on *hit* lanes from the fused surface pass.
 
     The kernel's material argmin only sees the tile's cone-selected
@@ -45,10 +45,12 @@ def resolve_material(scene: FlatScene, pos: Array, hit: Array,
     reports -1 (advisor round 2, medium).  The reference's contract is a
     *global* argmin over visible material primitives (SdfObject.fs:26-46).
 
-    Repairs are three-tiered: none (free), ≤ CAP bad lanes → gather just
-    those lanes and dense-evaluate them (the wavefront's bounce rounds
-    always have a few, and re-evaluating the whole 2M-lane queue to fix
-    them cost ~10× the fix), else the full dense sweep."""
+    Repairs are tiered: none (free); on the TPU pallas path, bad lanes in
+    ≤ BCAP (8,128)-blocks → gather those blocks with the Pallas block
+    gather and dense-evaluate them (bad lanes are spatially clustered on
+    cutter surfaces, and block-granular top_k runs over n/1024 keys
+    instead of the 1M-lane top_k the lane tier pays); then ≤ CAP bad
+    lanes → lane gather; else the full dense sweep."""
     bad = hit & (midx < 0)
     flatpos = pos.reshape(-1, 3)
     flatbad = bad.reshape(-1)
@@ -72,10 +74,37 @@ def resolve_material(scene: FlatScene, pos: Array, hit: Array,
             jnp.where(flatbad[idx], m, flatm[idx]))
         return fixed
 
-    nbad = jnp.sum(flatbad.astype(jnp.int32))
-    out = jax.lax.cond(
-        nbad == 0, lambda _: flatm,
-        lambda _: jax.lax.cond(nbad <= CAP, capped, dense, None), None)
+    def lane_tiers(_):
+        nbad = jnp.sum(flatbad.astype(jnp.int32))
+        return jax.lax.cond(
+            nbad == 0, lambda _: flatm,
+            lambda _: jax.lax.cond(nbad <= CAP, capped, dense, None), None)
+
+    from .pallas.gather import BLOCK, flat_block_gather
+    interp = backend == "pallas_interpret"
+    if (backend.startswith("pallas") and n % BLOCK == 0
+            and n // BLOCK > 1):
+        nb = n // BLOCK
+        BCAP = min(16, nb)
+        anyb = jnp.any(flatbad.reshape(nb, BLOCK), axis=1)
+        nbb = jnp.sum(anyb.astype(jnp.int32))
+
+        def block_repair(_):
+            _v, bidx = jax.lax.top_k(anyb.astype(jnp.int32), BCAP)
+            bidx = bidx.astype(jnp.int32)
+            pts = flat_block_gather(flatpos, bidx, BCAP, interpret=interp)
+            m = sdf.material_at(scene, pts)[0].reshape(BCAP, BLOCK)
+            cur = flatm.reshape(nb, BLOCK)
+            badb = flatbad.reshape(nb, BLOCK)[bidx]
+            new = jnp.where(badb, m, cur[bidx])
+            return cur.at[bidx].set(new).reshape(-1)
+
+        out = jax.lax.cond(
+            nbb == 0, lambda _: flatm,
+            lambda _: jax.lax.cond(nbb <= BCAP, block_repair,
+                                   lane_tiers, None), None)
+    else:
+        out = lane_tiers(None)
     return out.reshape(midx.shape)
 
 
@@ -89,7 +118,8 @@ def surface_hit(scene: FlatScene, rays: Rays,
         # fast path: normals + material argmin fused into the march kernel
         res, normal, midx = march_surface(scene, rays, cfg)
         pos = rays.at(res.t - rays.epsilon)
-        midx = resolve_material(scene, pos, res.hit, midx)
+        midx = resolve_material(scene, pos, res.hit, midx,
+                                backend=cfg.backend)
         albedo = sdf.albedo_of(scene, jnp.maximum(midx, 0), pos)
         return SurfaceHit(hit=res.hit, position=pos, normal=normal,
                           color=albedo, material=midx, t=res.t)

@@ -141,7 +141,8 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     pos = rays.at(res.t - eps)
     # repair culled-argmin material misses on cutter surfaces (shade.py)
     from .shade import resolve_material
-    midx = jnp.maximum(resolve_material(scene, pos, hit, midx), 0)
+    midx = jnp.maximum(resolve_material(scene, pos, hit, midx,
+                                        backend=cfg.march.backend), 0)
     albedo = sdf.albedo_of(scene, midx, pos)
     mat_kind = jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
 
@@ -307,7 +308,8 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     n_rays = jnp.float32(npix)
     eps = rays0.epsilon
     pos = rays0.at(res.t - eps)
-    midx = jnp.maximum(resolve_material(scene, pos, hit, midx), 0)
+    midx = jnp.maximum(resolve_material(scene, pos, hit, midx,
+                                        backend=cfg.march.backend), 0)
     albedo = sdf.albedo_of(scene, midx, pos)
     mat_kind = jnp.asarray(np.asarray(scene.mat_kind, np.int32))[midx]
 

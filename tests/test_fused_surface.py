@@ -172,3 +172,43 @@ def test_fused_gradients_match_nonfused():
     np.testing.assert_allclose(float(g_fused), float(g_dense), rtol=1e-3,
                                atol=1e-5)
     assert abs(float(g_fused)) > 1e-4  # non-trivial gradient
+
+
+def test_resolve_material_block_tier_matches_lane_tier():
+    """The TPU block-granular repair tier (pallas backends, bad lanes in
+    ≤ BCAP blocks) must produce exactly the lane-tier / dense result —
+    the global material argmin on every bad hit lane (SdfObject.fs:26-46)."""
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops import sdf
+    from fraytracer_tpu.ops.shade import resolve_material
+    rng = np.random.default_rng(3)
+    scene = ft.flatten(ft.Scene(root=ft.union(
+        ft.sphere((-1.5, 0, 0), 0.8, material=ft.solid(1, 0, 0)),
+        ft.sphere((1.5, 0, 0), 0.8, material=ft.solid(0, 1, 0)),
+        ft.sphere((0, 1.5, 0), 0.5),   # material-less
+    )))
+    n = 4096  # 4 blocks
+    pos = jnp.asarray(rng.uniform(-2.5, 2.5, size=(n, 3)), jnp.float32)
+    hit = jnp.asarray(rng.uniform(size=n) > 0.5)
+    # bad lanes confined to two blocks (block tier); plus an all-good block
+    midx = jnp.asarray(rng.integers(0, 2, size=n), jnp.int32)
+    bad = np.zeros(n, bool)
+    bad[100:180] = True      # block 0
+    bad[2100:2120] = True    # block 2
+    midx = jnp.where(jnp.asarray(bad), -1, midx)
+    ref = np.asarray(resolve_material(scene, pos, hit, midx,
+                                      backend="jnp"))
+    blk = np.asarray(resolve_material(scene, pos, hit, midx,
+                                      backend="pallas_interpret"))
+    np.testing.assert_array_equal(blk, ref)
+    # ground truth on the repaired lanes
+    m_true = np.asarray(sdf.material_at(scene, pos)[0])
+    fixed = np.asarray(hit) & bad
+    np.testing.assert_array_equal(blk[fixed], m_true[fixed])
+    # overflow (> BCAP blocks bad) falls back to the lane tiers
+    bad_all = jnp.where(jnp.asarray(np.ones(n, bool)), -1, midx)
+    ref2 = np.asarray(resolve_material(scene, pos, hit, bad_all,
+                                       backend="jnp"))
+    blk2 = np.asarray(resolve_material(scene, pos, hit, bad_all,
+                                       backend="pallas_interpret"))
+    np.testing.assert_array_equal(blk2, ref2)
