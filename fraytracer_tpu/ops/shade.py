@@ -52,7 +52,10 @@ def resolve_material(scene: FlatScene, pos: Array, hit: Array,
     instead of the 1M-lane top_k the lane tier pays); then ≤ CAP bad
     lanes → lane gather; else the full dense sweep."""
     bad = hit & (midx < 0)
-    flatpos = pos.reshape(-1, 3)
+    # the repair only computes an integer index — detach everything so no
+    # AD path runs through the selection (the Pallas block gather has no
+    # JVP rule, and a differentiable gather here would be wasted work)
+    flatpos = jax.lax.stop_gradient(pos).reshape(-1, 3)
     flatbad = bad.reshape(-1)
     flatm = midx.reshape(-1)
     n = flatpos.shape[0]

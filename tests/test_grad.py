@@ -186,3 +186,27 @@ def test_min_denom_silhouette_envelope():
         assert abs(g - expected) < 0.03 * abs(expected) + 2e-2, \
             (b, cos, g, expected)
         assert abs(g) <= 1.0 / MD + 1e-3  # saturation bound always holds
+
+
+def test_grad_through_pallas_render_with_block_repair():
+    """jax.grad of a full pallas-backend render at a size where the
+    block-granular material repair tier is live (n % 1024 == 0): the
+    repair must not put a Pallas gather on the AD path (r5 regression:
+    pallas_call has no JVP rule)."""
+    import jax
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops.march import MarchConfig
+    from fraytracer_tpu.scene.generators import torus_csg_scene
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=48))
+    cam = ft.look_at((0, 0, -10), (0, 0, 0), fov_degrees=60.0)
+    cfg = ft.RenderConfig(width=64, height=64,
+                          march=MarchConfig(backend="pallas_interpret",
+                                            max_steps=96))
+
+    def loss(s):
+        return jnp.sum(ft.render(s, cam, cfg) ** 2)
+
+    g = jax.grad(loss)(scene)
+    leaves = jax.tree.leaves(g.prim_params)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
