@@ -341,6 +341,26 @@ def main() -> int:
             f"{float(n_spec):.0f} rays")
         emit(result)
 
+    if (args.size >= 1024 and args.tori >= 1000
+            and jax.default_backend() == "tpu" and not over_budget()):
+        # 10× scene-scale proof (VERDICT r4 #5): 10,000 primitives, with
+        # empirically-sized candidate tables and the host-prep cost split
+        # out.  Subprocess: its kernel variants must not bloat this
+        # process's compile set.
+        import subprocess
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_10k.py"),
+                 str(args.size), "10000"],
+                capture_output=True, timeout=900)
+            line = out.stdout.decode().strip().splitlines()[-1]
+            result["tori_10k"] = json.loads(line)
+            emit(result)
+        except Exception as e:  # never fail the bench over the 10k section
+            log(f"10k section skipped: {type(e).__name__}: {e}")
+
     if not args.no_scaling and not over_budget():
         # sharded-path overhead on the virtual 8-device CPU mesh (real
         # multi-chip hardware is unavailable here; see tools/scaling_report)

@@ -356,6 +356,86 @@ def _leaf_scene_d(scene: FlatScene, code: Array):
     return scene_d
 
 
+_BWD_TILE = 4096   # lanes per one-hot leaf-select tile (= kernel ray tile)
+_BWD_M = 64        # distinct winning leaves per tile (benchmark max: ≤60)
+
+
+def _tiled_leaf_select(code: Array):
+    """Per-tile distinct-winner table + one-hot selector for the leaf-local
+    backward (round 5): XLA lowers the per-lane ``params[slot]`` gather
+    (and its scatter-add transpose) near-serially on TPU (~4.3 + 8.2 ms at
+    1M lanes), while an MXU one-hot select over the tile's ≤ _BWD_M
+    distinct winners runs at matmul speed (measured: t-VJP 27.7 → 16.1 ms,
+    normal-VJP 49.2 → 28.4 ms, gradients exact at HIGHEST precision).
+
+    Returns ``(slot, sgn, uniq [G, M], onehot [G, T, M], ok)`` or None
+    when the batch doesn't tile.  ``ok`` (traced bool) is the exactness
+    certificate: every tile's distinct-winner count fits the table —
+    callers must fall back to the per-lane path otherwise."""
+    sg = jax.lax.stop_gradient
+    code = sg(code).reshape(-1)
+    n = code.shape[0]
+    if n % _BWD_TILE != 0 or n // _BWD_TILE < 1:
+        return None
+    slot = jnp.abs(code).astype(jnp.int32) - 1
+    sgn = jnp.sign(code)
+    g = n // _BWD_TILE
+    s2 = slot.reshape(g, _BWD_TILE)
+    ss = jnp.sort(s2, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((g, 1), bool), ss[:, 1:] != ss[:, :-1]], axis=1)
+    keys = jnp.where(first & (ss >= 0), ss, 2 ** 30)
+    uniq = jnp.sort(keys, axis=1)[:, :_BWD_M]
+    n_uniq = jnp.sum((keys < 2 ** 30).astype(jnp.int32), axis=1)
+    ok = jnp.max(n_uniq) <= _BWD_M
+    pos = jnp.clip(jax.vmap(jnp.searchsorted)(uniq, s2), 0, _BWD_M - 1)
+    valid = jnp.take_along_axis(uniq, pos, axis=1) == s2
+    oh = jnp.where(valid[..., None],
+                   jax.nn.one_hot(pos, _BWD_M, dtype=jnp.float32), 0.0)
+    return slot, sgn, uniq, oh, ok
+
+
+def _leaf_scene_d_tiled(scene: FlatScene, sel):
+    """Leaf-local scene distance via the one-hot tile select (see
+    :func:`_tiled_leaf_select`); same semantics as :func:`_leaf_scene_d`.
+    Large kinds select their per-lane params with an MXU einsum over the
+    tile's distinct-winner table (HIGHEST precision — exact f32); small
+    kinds keep the per-lane row read (XLA vectorizes tiny tables)."""
+    from .pallas.march_kernel import _GEN_FNS
+    slot, sgn, uniq, oh, _ok = sel
+    g = uniq.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    def scene_d(sc: FlatScene, x: Array) -> Array:
+        xf = x.reshape(-1, 3)
+        out = jnp.zeros(xf.shape[:-1])
+        off = 0
+        for kind, cnt in sc.kind_counts:
+            if cnt > 24:
+                rowk = jnp.clip(uniq - off, 0, cnt - 1)
+                tab = sc.prim_params[kind][rowk]          # [G, M, P]
+                msk = ((uniq >= off) & (uniq < off + cnt)) \
+                    .astype(jnp.float32)
+                pl_ = jnp.einsum('gtm,gmp->gtp', oh * msk[:, None, :],
+                                 tab, precision=hi)
+                xr = xf.reshape(g, _BWD_TILE, 3)
+                d = _GEN_FNS[kind](lambda j: pl_[..., j],
+                                   xr[..., 0], xr[..., 1], xr[..., 2])
+                ink = ((slot >= off) & (slot < off + cnt))
+                out = jnp.where(ink, d.reshape(-1), out)
+            else:
+                in_kind = (slot >= off) & (slot < off + cnt)
+                row = jnp.clip(slot - off, 0, cnt - 1)
+                params = sc.prim_params[kind][row]
+                d = _GEN_FNS[kind](lambda j: params[..., j],
+                                   xf[..., 0], xf[..., 1], xf[..., 2])
+                out = jnp.where(in_kind, d, out)
+            off += cnt
+        return (sgn * out).reshape(x.shape[:-1])
+
+    return scene_d
+
+
 def _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg):
     """sg(∇f·d̂) with the grazing-hit guard (module docstring)."""
     sg = jax.lax.stop_gradient
@@ -612,32 +692,13 @@ def _march_surf_fwd(scene, rays, sign, cfg):
     return out, (scene, rays, sign, out[0], out[3])
 
 
-def _march_surf_bwd(cfg, residuals, ct):
-    """Backward of the fused march+surface: the t cotangent goes through
-    the implicit-diff formula; the normal cotangent goes through a
-    differentiable recompute ``n = normalize(∇f)(scene, o + (t(scene)-ε)d)``
-    where t(scene) is the same implicit reparameterization — so gradients
-    are identical to the unfused (march → point_eval normal) chain without
-    re-running the kernel.  For min/max-only CSG the local scene distance
-    is the kernel-reported winning leaf (``_leaf_scene_d``) — one
-    primitive per ray instead of per-tile candidate matrices."""
-    scene, rays, sign, raw, code = residuals
-    ct_res, ct_n, _ct_m, _ct_code = ct
+def _surf_bwd_tail(cfg, scene, rays, signv, raw, scene_d, x0, ct_t, ct_n):
+    """Shared tail of the fused-surface backward for a given scene_d
+    closure: implicit-diff t-VJP + the differentiable normal recompute
+    ``n = normalize(∇f)(scene, o + (t(scene)-ε)d)``."""
     sg = jax.lax.stop_gradient
-    signv = None if sign.ndim == 0 else sg(sign)
-    batch = raw.t.shape
-    from .pallas.march_kernel import slot_surface_mode
-    if slot_surface_mode(scene.plan):
-        scene_d = _leaf_scene_d(scene, code)
-        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
-    elif signv is None:
-        scene_d, x0 = _culled_scene_d(scene, rays, raw, cfg, batch)
-    else:
-        scene_d = lambda sc, x: sdf.scene_distance(sc, x)
-        x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
-
     bar_scene, bar_o, bar_d = _t_bwd(cfg, scene, rays, signv, raw,
-                                     scene_d, x0, ct_res.t)
+                                     scene_d, x0, ct_t)
 
     t_star = sg(raw.t)
     denom = _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg)
@@ -656,9 +717,56 @@ def _march_surf_bwd(cfg, residuals, ct):
     ct_n_hit = jnp.where(sg(raw.hit)[..., None], ct_n, 0.0)
     _n, vjp = jax.vjp(nfn, scene, rays.origin, rays.direction)
     n_scene, n_o, n_d = vjp(ct_n_hit)
-
     bar_scene = jax.tree.map(jnp.add, bar_scene, n_scene)
-    bar_rays = Rays(origin=bar_o + n_o, direction=bar_d + n_d,
+    return bar_scene, bar_o + n_o, bar_d + n_d
+
+
+def _march_surf_bwd(cfg, residuals, ct):
+    """Backward of the fused march+surface: the t cotangent goes through
+    the implicit-diff formula; the normal cotangent goes through a
+    differentiable recompute ``n = normalize(∇f)(scene, o + (t(scene)-ε)d)``
+    where t(scene) is the same implicit reparameterization — so gradients
+    are identical to the unfused (march → point_eval normal) chain without
+    re-running the kernel.  For min/max-only CSG the local scene distance
+    is the kernel-reported winning leaf — selected per lane by the MXU
+    one-hot tile table (``_leaf_scene_d_tiled``) when the batch tiles and
+    every tile's distinct winners fit the table (certified by ``ok``,
+    checked at runtime via lax.cond), else the per-lane row read
+    (``_leaf_scene_d``)."""
+    scene, rays, sign, raw, code = residuals
+    ct_res, ct_n, _ct_m, _ct_code = ct
+    sg = jax.lax.stop_gradient
+    signv = None if sign.ndim == 0 else sg(sign)
+    batch = raw.t.shape
+    from .pallas.march_kernel import slot_surface_mode
+    x0 = sg(rays.origin) + sg(raw.t)[..., None] * sg(rays.direction)
+    if slot_surface_mode(scene.plan):
+        sel = _tiled_leaf_select(code)
+        if sel is None:
+            out3 = _surf_bwd_tail(cfg, scene, rays, signv, raw,
+                                  _leaf_scene_d(scene, code), x0,
+                                  ct_res.t, ct_n)
+        else:
+            out3 = jax.lax.cond(
+                sel[4],
+                lambda _: _surf_bwd_tail(
+                    cfg, scene, rays, signv, raw,
+                    _leaf_scene_d_tiled(scene, sel), x0, ct_res.t, ct_n),
+                lambda _: _surf_bwd_tail(
+                    cfg, scene, rays, signv, raw,
+                    _leaf_scene_d(scene, code), x0, ct_res.t, ct_n),
+                None)
+    elif signv is None:
+        scene_d, x0c = _culled_scene_d(scene, rays, raw, cfg, batch)
+        out3 = _surf_bwd_tail(cfg, scene, rays, signv, raw, scene_d, x0c,
+                              ct_res.t, ct_n)
+    else:
+        scene_d = lambda sc, x: sdf.scene_distance(sc, x)
+        out3 = _surf_bwd_tail(cfg, scene, rays, signv, raw, scene_d, x0,
+                              ct_res.t, ct_n)
+
+    bar_scene, bar_o, bar_d = out3
+    bar_rays = Rays(origin=bar_o, direction=bar_d,
                     length=jnp.zeros_like(rays.length),
                     epsilon=jnp.zeros_like(rays.epsilon))
     return bar_scene, bar_rays, jnp.zeros_like(sign)

@@ -210,3 +210,41 @@ def test_grad_through_pallas_render_with_block_repair():
     leaves = jax.tree.leaves(g.prim_params)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_tiled_leaf_backward_matches_perlane():
+    """The MXU one-hot leaf backward (_leaf_scene_d_tiled, live when the
+    batch tiles at 4096 lanes) must give the same scene gradients as the
+    per-lane path — same formula, different select machinery (r5)."""
+    import jax
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops.march import (MarchConfig, march_surface,
+                                          _tiled_leaf_select)
+    from fraytracer_tpu.scene.generators import torus_csg_scene
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=48))
+    cam_ = ft.look_at((0, 0, -10), (0, 0, 0), fov_degrees=60.0)
+    rays = ft.camera_rays(cam_, 64, 64, 0.01, 30.0)   # 4096 = one tile
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+    cfg = MarchConfig(backend="pallas_interpret", max_steps=96,
+                      cull=True, cull_threshold=32, cull_m=64)
+
+    def loss(s):
+        res, nrm, _m = march_surface(s, flat, cfg)
+        return (jnp.sum(jnp.where(res.hit, res.t, 0.0))
+                + jnp.sum(jnp.where(res.hit[..., None], nrm * 0.3, 0.0)))
+
+    g_tiled = jax.grad(loss)(scene)
+
+    # force the per-lane path by monkeypatching the selector off
+    import fraytracer_tpu.ops.march as M
+    orig = M._tiled_leaf_select
+    M._tiled_leaf_select = lambda code: None
+    try:
+        g_lane = jax.grad(loss)(scene)
+    finally:
+        M._tiled_leaf_select = orig
+    for k in g_tiled.prim_params:
+        a = np.asarray(g_tiled.prim_params[k])
+        b = np.asarray(g_lane.prim_params[k])
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 1e-5, (k, np.abs(a - b).max())
