@@ -398,45 +398,88 @@ def _tiled_leaf_select(code: Array):
     return slot, sgn, uniq, oh, ok
 
 
-def _leaf_scene_d_tiled(scene: FlatScene, sel):
-    """Leaf-local scene distance via the one-hot tile select (see
-    :func:`_tiled_leaf_select`); same semantics as :func:`_leaf_scene_d`.
-    Large kinds select their per-lane params with an MXU einsum over the
-    tile's distinct-winner table (HIGHEST precision — exact f32); small
-    kinds keep the per-lane row read (XLA vectorizes tiny tables)."""
+def _surf_bwd_tail_tiled(cfg, scene, rays, signv, raw, sel, ct_t, ct_n):
+    """Slot-mode fused-surface backward via the one-hot leaf tables: the
+    t cotangent (implicit diff) and the normal cotangent (differentiable
+    recompute) pull through ONE ``jax.vjp`` whose only scene-dependent
+    inputs are the per-kind ``[G, M, P]`` winner tables — the per-lane
+    param selection is a single MXU einsum fan-out, its cotangents sum
+    once, and the scene gradient lands with one small ``[G·M]``-row
+    scatter per kind (vs per-1M-lane gather/scatter chains, which XLA
+    lowers near-serially on TPU).  Gradients equal the per-lane path's
+    (parity test in tests/test_grad.py)."""
     from .pallas.march_kernel import _GEN_FNS
+    sg = jax.lax.stop_gradient
     slot, sgn, uniq, oh, _ok = sel
-    g = uniq.shape[0]
     hi = jax.lax.Precision.HIGHEST
+    g = uniq.shape[0]
+    t_star = sg(raw.t)
+    nlanes = slot.shape[0]
+    batch = raw.t.shape
 
-    def scene_d(sc: FlatScene, x: Array) -> Array:
-        xf = x.reshape(-1, 3)
-        out = jnp.zeros(xf.shape[:-1])
-        off = 0
-        for kind, cnt in sc.kind_counts:
-            if cnt > 24:
-                rowk = jnp.clip(uniq - off, 0, cnt - 1)
-                tab = sc.prim_params[kind][rowk]          # [G, M, P]
-                msk = ((uniq >= off) & (uniq < off + cnt)) \
-                    .astype(jnp.float32)
-                pl_ = jnp.einsum('gtm,gmp->gtp', oh * msk[:, None, :],
-                                 tab, precision=hi)
-                xr = xf.reshape(g, _BWD_TILE, 3)
-                d = _GEN_FNS[kind](lambda j: pl_[..., j],
-                                   xr[..., 0], xr[..., 1], xr[..., 2])
-                ink = ((slot >= off) & (slot < off + cnt))
-                out = jnp.where(ink, d.reshape(-1), out)
-            else:
-                in_kind = (slot >= off) & (slot < off + cnt)
-                row = jnp.clip(slot - off, 0, cnt - 1)
-                params = sc.prim_params[kind][row]
-                d = _GEN_FNS[kind](lambda j: params[..., j],
-                                   xf[..., 0], xf[..., 1], xf[..., 2])
-                out = jnp.where(in_kind, d, out)
-            off += cnt
-        return (sgn * out).reshape(x.shape[:-1])
+    kinds = scene.kind_counts
+    offs, off = {}, 0
+    for kind, cnt in kinds:
+        offs[kind] = off
+        off += cnt
+    rowk = {k: jnp.clip(uniq - offs[k], 0, c - 1) for k, c in kinds}
+    msks = {k: ((uniq >= offs[k]) & (uniq < offs[k] + c))
+            .astype(jnp.float32)[:, None, :] for k, c in kinds}
+    inks = {k: (slot >= offs[k]) & (slot < offs[k] + c) for k, c in kinds}
+    tabs0 = {k: scene.prim_params[k][rowk[k]] for k, _ in kinds}
 
-    return scene_d
+    def F(tabs, o, d):
+        lane = {k: jnp.einsum('gtm,gmp->gtp', oh * msks[k], tabs[k],
+                              precision=hi) for k, _ in kinds}
+
+        def dist(x):
+            """Unsigned leaf-local scene distance (CSG-signed via sgn)."""
+            xr = x.reshape(g, _BWD_TILE, 3)
+            out = jnp.zeros((nlanes,))
+            for k, _c in kinds:
+                dk = _GEN_FNS[k](lambda j, k=k: lane[k][..., j],
+                                 xr[..., 0], xr[..., 1], xr[..., 2])
+                out = jnp.where(inks[k], dk.reshape(-1), out)
+            return (sgn * out).reshape(batch)
+
+        def dist_m(x):
+            """March-signed distance (signv = −1 inside dielectrics)."""
+            out = dist(x)
+            return signv * out if signv is not None else out
+
+        x0 = o + t_star[..., None] * d
+        f0 = dist_m(x0)
+        # grazing-hit guard (module docstring), detached
+        gx0 = sg(jax.grad(lambda q: jnp.sum(dist_m(q)))(sg(x0)))
+        den = dot(gx0, sg(d))
+        den = jnp.sign(den) * jnp.maximum(jnp.abs(den), cfg.min_denom)
+        denom = jnp.where(den == 0.0, cfg.min_denom, den)
+        # implicit-diff reparameterization of t at the converged point
+        t_im = t_star - (f0 - sg(f0)) / denom
+        p = o + (t_im - rays.epsilon)[..., None] * d
+        # the OUTWARD SDF gradient even on sign=-1 inside-marching lanes
+        # (march_surface contract; callers orient it)
+        gp = jax.grad(lambda q: jnp.sum(dist(q)))(p)
+        return t_im, normalize(gp)
+
+    hit = sg(raw.hit)
+    ct_t_h = jnp.where(hit, ct_t, 0.0)
+    ct_n_h = jnp.where(hit[..., None], ct_n, 0.0)
+    _outs, vjp = jax.vjp(F, tabs0, rays.origin, rays.direction)
+    bar_tabs, bar_o, bar_d = vjp((ct_t_h, ct_n_h))
+
+    # correctly-typed zero cotangent for the FlatScene pytree (float0 for
+    # integer leaves), then land the table cotangents with small scatters
+    _z, pullback = jax.vjp(
+        lambda sc: jnp.float32(0.0) * jnp.sum(sc.prim_params[kinds[0][0]]),
+        scene)
+    (bar_scene,) = pullback(jnp.float32(0.0))
+    bar_pp = dict(bar_scene.prim_params)
+    for k, _c in kinds:
+        p_w = scene.prim_params[k].shape[-1]
+        bar_pp[k] = bar_pp[k].at[rowk[k].reshape(-1)].add(
+            bar_tabs[k].reshape(-1, p_w))
+    return bar_scene.replace(prim_params=bar_pp), bar_o, bar_d
 
 
 def _implicit_t_denom(scene, rays, scene_d, x0, signv, cfg):
@@ -752,9 +795,8 @@ def _march_surf_bwd(cfg, residuals, ct):
         else:
             out3 = jax.lax.cond(
                 sel[4],
-                lambda _: _surf_bwd_tail(
-                    cfg, scene, rays, signv, raw,
-                    _leaf_scene_d_tiled(scene, sel), x0, ct_res.t, ct_n),
+                lambda _: _surf_bwd_tail_tiled(
+                    cfg, scene, rays, signv, raw, sel, ct_res.t, ct_n),
                 lambda _: _surf_bwd_tail(
                     cfg, scene, rays, signv, raw,
                     _leaf_scene_d(scene, code), x0, ct_res.t, ct_n),

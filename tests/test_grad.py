@@ -248,3 +248,46 @@ def test_tiled_leaf_backward_matches_perlane():
         b = np.asarray(g_lane.prim_params[k])
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() / scale < 1e-5, (k, np.abs(a - b).max())
+
+
+def test_tiled_leaf_backward_matches_perlane_signed():
+    """Same parity on the sign=-1 (inside-marching, refraction) path:
+    the t chain uses the march-signed distance, the normal chain the
+    outward gradient — the merged-VJP tiled backward must preserve both."""
+    import jax
+    import jax.numpy as jnp
+    from fraytracer_tpu.ops.march import MarchConfig, march_surface
+    from fraytracer_tpu.scene.generators import torus_csg_scene
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=48))
+    n = 4096
+    rng = np.random.default_rng(4)
+    # rays starting inside the root sphere marching outward (sign=-1 on
+    # a subset simulates inside-dielectric transmission)
+    o = rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = ft.types.Rays(origin=jnp.asarray(o), direction=jnp.asarray(d),
+                         length=jnp.full((n,), 20.0, jnp.float32),
+                         epsilon=jnp.full((n,), 0.01, jnp.float32))
+    sign = jnp.where(jnp.asarray(rng.uniform(size=n) > 0.5), 1.0, -1.0)
+    cfg = MarchConfig(backend="pallas_interpret", max_steps=96,
+                      cull=True, cull_threshold=32, cull_m=64)
+
+    def loss(s):
+        res, nrm, _m = march_surface(s, rays, cfg, sign=sign)
+        return (jnp.sum(jnp.where(res.hit, res.t, 0.0))
+                + jnp.sum(jnp.where(res.hit[..., None], nrm * 0.3, 0.0)))
+
+    g_tiled = jax.grad(loss)(scene)
+    import fraytracer_tpu.ops.march as M
+    orig = M._tiled_leaf_select
+    M._tiled_leaf_select = lambda code: None
+    try:
+        g_lane = jax.grad(loss)(scene)
+    finally:
+        M._tiled_leaf_select = orig
+    for k in g_tiled.prim_params:
+        a = np.asarray(g_tiled.prim_params[k])
+        b = np.asarray(g_lane.prim_params[k])
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 1e-5, (k, np.abs(a - b).max())
