@@ -277,14 +277,32 @@ def main() -> int:
     if not args.no_bwd and not over_budget():
         # fwd+bwd wall time: grad of L2-vs-zero image loss w.r.t. all scene
         # params (the BASELINE "fwd+bwd time for 1024x1024 CSG scene").
+        # Timed BOTH ways, matching the forward's two timings: sustained
+        # (K steps inside one jit — what a fitting loop pays per
+        # iteration) and single-dispatch (includes the tunnel RTT).
+        def loss(s, c):
+            return jnp.sum(ft.render(s, c, cfg) ** 2)
+
         @jax.jit
         def fwd_bwd(s, c):
-            def loss(s):
-                return jnp.sum(ft.render(s, c, cfg) ** 2)
-            g = jax.grad(loss)(s)
+            g = jax.grad(loss)(s, c)
             # scalar checksum forces a real completion barrier (see above)
             return g, sum(jnp.sum(jnp.abs(x))
                           for x in jax.tree.leaves(g.prim_params))
+
+        KB = 8
+
+        @jax.jit
+        def fwd_bwd_k(s, c):
+            def body(i, acc):
+                pp = dict(s.prim_params)
+                k0 = next(iter(pp))
+                pp[k0] = pp[k0] + acc * 1e-38
+                g = jax.grad(loss)(s.replace(prim_params=pp), c)
+                return acc + sum(jnp.sum(jnp.abs(x))
+                                 for x in jax.tree.leaves(g.prim_params)) \
+                    * 1e-9
+            return jax.lax.fori_loop(0, KB, body, jnp.float32(0.0))
 
         log("compiling fwd+bwd...")
         t0 = time.perf_counter()
@@ -294,8 +312,18 @@ def main() -> int:
         t0 = time.perf_counter()
         g, gsum = fwd_bwd(scene, camera)
         float(gsum)
-        result["fwd_bwd_time_s"] = time.perf_counter() - t0
-        log(f"fwd+bwd {result['fwd_bwd_time_s']:.2f}s")
+        result["fwd_bwd_time_single_dispatch_s"] = time.perf_counter() - t0
+        float(fwd_bwd_k(scene, camera))
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(fwd_bwd_k(scene, camera))
+            times.append((time.perf_counter() - t0) / KB)
+        result["fwd_bwd_time_s"] = min(times)
+        result["fwd_bwd_over_fwd"] = result["fwd_bwd_time_s"] / fwd_s
+        log(f"fwd+bwd sustained {result['fwd_bwd_time_s']*1e3:.1f}ms "
+            f"({result['fwd_bwd_over_fwd']:.2f}x fwd), single "
+            f"{result['fwd_bwd_time_single_dispatch_s']*1e3:.1f}ms")
         emit(result)
 
     if not args.no_spectral and not over_budget():
