@@ -98,6 +98,9 @@ CAND_UNROLL = int(_os.environ.get("FT_CAND_UNROLL", "8"))
 SCALAR_CAND = bool(int(_os.environ.get("FT_SCALAR_CAND", "0")))
 # disable the running-min early-out (A/B experiments)
 NO_EARLYOUT = bool(int(_os.environ.get("FT_NO_EARLYOUT", "0")))
+# chunks evaluated per early-out while iteration (sync amortization —
+# VERDICT r4 next-#1c); 1 = the round-4 per-chunk check
+EO_STRIDE = int(_os.environ.get("FT_EO_STRIDE", "2"))
 # dev switch (tools/probe_*, bench roofline): report the summed per-step
 # window width in the steps output instead of the iteration count; also
 # reachable per-call via MarchConfig.debug_window_stats
@@ -883,47 +886,64 @@ def _build_kernel(kind_counts: Tuple[Tuple[str, int], ...], plan: Plan,
                 # (min groups only; max groups scan their whole window)
                 stop_ref = phi   # max over active lanes of p_ax
 
-                def wcond(carry):
-                    cb, acc, amax = carry
-                    if NO_EARLYOUT or g_op == "max" or not early_out:
-                        return cb < cb_hi
-                    return jnp.logical_and(
-                        cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cb])
-
                 red0 = _BIG if g_op == "min" else -_BIG
                 # the running-max cross-lane reduction feeds ONLY the
                 # early-out condition — skip it (and its scalar sync)
-                # entirely when the early-out is off
+                # entirely when the early-out is off.  With the early-out
+                # on, EO_STRIDE chunks evaluate per while iteration so the
+                # cross-lane max + SMEM suffix-min read amortize (the
+                # round-4 per-chunk sync cost ~9% of the frame and made
+                # the early-out a net loss); overshoot reads clamp to the
+                # last chunk (min-fold idempotent, candidates past the
+                # window are ≥ cap away — the result is exactly the
+                # unstrided scan's).
                 use_eo = early_out and not NO_EARLYOUT and g_op == "min"
+                stride = EO_STRIDE if use_eo else 1
+                last_cb = m // CAND_UNROLL - 1
+
+                def wcond(carry):
+                    cb, acc, amax = carry
+                    if not use_eo:
+                        return cb < cb_hi
+                    cbl = jnp.minimum(cb, last_cb)
+                    return jnp.logical_and(
+                        cb < cb_hi, amax + stop_ref > hsuf_ref[0, 0, cbl])
 
                 if SCALAR_CAND:
                     def wbody(carry):
                         cb, acc, _amax = carry
-                        c0 = cb * CAND_UNROLL
-                        for k in range(CAND_UNROLL):
-                            s = tuple(cand_ref[c0 + k, j]
-                                      for j in range(P))
-                            dk = fn(s, px, py, pz)
-                            acc = jnp.minimum(acc, dk) if g_op == "min" \
-                                else jnp.maximum(acc, dk)
+                        for ks in range(stride):
+                            cbk = jnp.minimum(cb + ks, last_cb) \
+                                if ks else cb
+                            c0 = cbk * CAND_UNROLL
+                            for k in range(CAND_UNROLL):
+                                s = tuple(cand_ref[c0 + k, j]
+                                          for j in range(P))
+                                dk = fn(s, px, py, pz)
+                                acc = jnp.minimum(acc, dk) \
+                                    if g_op == "min" \
+                                    else jnp.maximum(acc, dk)
                         amax = (jnp.max(jnp.where(active > 0.0, acc,
                                                   -_BIG))
                                 if use_eo else jnp.float32(0.0))
-                        return cb + 1, acc, amax
+                        return cb + stride, acc, amax
                 else:
                     def wbody(carry):
                         cb, acc, _amax = carry
-                        blk = cand_ref[pl.ds(cb * CAND_UNROLL,
-                                             CAND_UNROLL), :]
-                        d = vfn(blk, px, py, pz)      # [CK, S, 128]
-                        if g_op == "min":
-                            acc = jnp.minimum(acc, jnp.min(d, axis=0))
-                        else:
-                            acc = jnp.maximum(acc, jnp.max(d, axis=0))
+                        for ks in range(stride):
+                            cbk = jnp.minimum(cb + ks, last_cb) \
+                                if ks else cb
+                            blk = cand_ref[pl.ds(cbk * CAND_UNROLL,
+                                                 CAND_UNROLL), :]
+                            d = vfn(blk, px, py, pz)      # [CK, S, 128]
+                            if g_op == "min":
+                                acc = jnp.minimum(acc, jnp.min(d, axis=0))
+                            else:
+                                acc = jnp.maximum(acc, jnp.max(d, axis=0))
                         amax = (jnp.max(jnp.where(active > 0.0, acc,
                                                   -_BIG))
                                 if use_eo else jnp.float32(0.0))
-                        return cb + 1, acc, amax
+                        return cb + stride, acc, amax
 
                 _cb, win, _am = jax.lax.while_loop(
                     wcond, wbody,

@@ -593,3 +593,22 @@ def test_intersect_cull_with_smooth_union_coexists():
     h = np.asarray(res.hit)
     assert np.abs(np.asarray(nrm) - n_ref)[h].max() < 1e-3
     assert (np.asarray(midx)[h] == np.asarray(m_ref)[h]).all()
+
+
+def test_early_out_exact_parity():
+    """The strided running-min early-out (cull_early_out, EO_STRIDE
+    chunks per sync) only skips chunks that provably cannot change the
+    group min — hits and distances must match the un-early-out march
+    exactly, including overshoot reads clamped to the last chunk."""
+    import dataclasses as dc
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=96))
+    rays = flat_camera_rays(48, 48)
+    base = MarchConfig(backend="pallas_interpret", max_steps=192,
+                       cull=True, cull_threshold=64, cull_m=128,
+                       relax_omega=1.4)
+    off = march(scene, rays, dc.replace(base, cull_early_out=False))
+    on = march(scene, rays, dc.replace(base, cull_early_out=True))
+    np.testing.assert_array_equal(np.asarray(off.hit), np.asarray(on.hit))
+    h = np.asarray(off.hit)
+    np.testing.assert_allclose(np.asarray(on.t)[h], np.asarray(off.t)[h],
+                               atol=1e-6)
