@@ -69,6 +69,14 @@ class WavefrontConfig:
     # children below this weight are first to drop on queue overflow (they
     # still render when capacity allows); see _bounce compaction
     overflow_drop_threshold: float = 0.05
+    # candidate-table slots for bounce-round marches AND their shadow
+    # occlusions: secondary tiles diverge until the cone test collapses
+    # to a bounding ball, so conservative counts approach the group size
+    # — sized so the dense-fallback cond can never fire mid-frame (the
+    # camera-path cull_m_shadow was retuned to 512 in round 5, which
+    # silently put bounce rounds on the ~25 ms dense fallback: spectral
+    # 1.47 → 2.77 s until this field split the two)
+    bounce_cull_m: int = 1024
 
 
 def block_compact_key(klass: Array, block: int) -> Array:
@@ -127,9 +135,10 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     sign = jnp.where(q.inside, -1.0, 1.0)
     # bounce rays diverge off curved geometry → near-omnidirectional tiles
     # whose conservative candidate count can reach the group size: use the
-    # shadow-sized table so the dense-fallback cond never fires mid-frame
+    # bounce-sized table so the dense-fallback cond never fires mid-frame
     mcfg = dataclasses.replace(
-        cfg.march, cull_m=max(cfg.march.cull_m, cfg.march.cull_m_shadow))
+        cfg.march, cull_m=max(cfg.march.cull_m, cfg.bounce_cull_m),
+        cull_m_shadow=max(cfg.march.cull_m_shadow, cfg.bounce_cull_m))
     # fused march+surface: normals and the material argmin come out of the
     # march kernel itself (culled), not a dense [N, K] second pass
     res, nrm, midx = march_surface(scene, rays, mcfg, sign=sign)
@@ -153,7 +162,10 @@ def _bounce(scene: FlatScene, q: RayQueue, image: Array,
     bg_contrib = jnp.where(missed[..., None], w * scene.background, 0.0)
 
     # ---- diffuse shading term ---------------------------------------------
-    light_rgb, n_shadow = _shade_local(scene, pos, nrm, eps, cfg)
+    # bounce-round shadow origins sit on scattered secondary surfaces —
+    # their occlusion tables need the bounce sizing too
+    light_rgb, n_shadow = _shade_local(
+        scene, pos, nrm, eps, dataclasses.replace(cfg, march=mcfg))
     n_marched = n_marched + n_shadow
     emission = scene.mat_emission[midx]
     lambert = albedo * light_rgb * jnp.float32(1.0 / math.pi) + emission
