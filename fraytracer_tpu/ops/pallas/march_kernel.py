@@ -405,6 +405,11 @@ class TileCones(NamedTuple):
     #                    over t ∈ [lo, hi], active lanes)
     ax_hi: Array       # [G] exact max reachable axial coord
     tan_conv: Array    # [G] converging-cone tangent (apex mode; else -1)
+    tan_neg: Array     # [G] negative-side converging tangent: lanes whose
+    #                    origins sit PAST the apex along the axis march
+    #                    through α<0, where lateral reach is |α|·tan_neg
+    #                    (0 when no such lane — the α·tan_conv bound alone
+    #                    is then complete)
 
 
 def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
@@ -495,27 +500,31 @@ def _tile_cones(origin: Array, direction: Array, t_lo: Array, t_hi: Array,
     if conv_apex is None:
         margin = rho + 2.0 * eps_max + 1e-3
         tan_conv = jnp.full(margin.shape, -1.0)
+        tan_neg = jnp.zeros_like(margin)
     else:
-        # converging mode: lateral reach is α·tan_conv (docstring) — the
-        # origin spread is carried by the tangent, not a radius margin.
-        # The α·tan bound is only valid when every active origin sits on
-        # the POSITIVE axial side of the apex (the segment origin→apex
-        # then lives in α ∈ [0, o_par] where λ = α·λ_i/o_par_i).  A lane
-        # with o_par < 0 marches through the α<0 half-space, where the
-        # bound gives zero lateral reach and would exclude real occluders
-        # (advisor r4 high: false light leaks on tiles straddling a point
-        # light) — such tiles fall back to the wedge/ball test
-        # (tan_conv = -1 sentinel, margin restored to carry rho).
+        # converging mode: every lane's reachable set is the straight
+        # segment from its origin to the apex, so lateral reach at axial
+        # coordinate α is a TWO-SIDED envelope (advisor r4 high — the
+        # one-sided α·tan bound gave zero reach on the α<0 half-space and
+        # excluded real occluders between far-side origins and a point
+        # light): lanes with o_par ≥ 0 live in α ∈ [0, o_par] with
+        # λ(α) = α·λ_i/o_par_i ≤ α·tan_conv; lanes with o_par < 0 live in
+        # α ∈ [o_par, 0] with λ(α) = |α|·λ_i/|o_par_i| ≤ |α|·tan_neg.
+        # Near-apex denominators clamp at 1e-6 → huge tangents →
+        # conservative.  The origin spread is carried entirely by the
+        # tangents, not a radius margin.
         lam = jnp.sqrt(rho2)                                     # [G,T]
-        tan_l = lam / jnp.maximum(o_par, 1e-6)
-        tan_c = jnp.max(jnp.where(act > 0.0, tan_l, 0.0), axis=1)
-        has_neg = jnp.any((act > 0.0) & (o_par < 0.0), axis=1)
-        margin = jnp.where(has_neg, rho + 2.0 * eps_max + 1e-3,
-                           2.0 * eps_max + 1e-3)
-        tan_conv = jnp.where(has_neg, -1.0, tan_c)
+        pos_side = o_par >= 0.0
+        tan_p = lam / jnp.maximum(o_par, 1e-6)
+        tan_n = lam / jnp.maximum(-o_par, 1e-6)
+        margin = 2.0 * eps_max + 1e-3
+        tan_conv = jnp.max(
+            jnp.where((act > 0.0) & pos_side, tan_p, 0.0), axis=1)
+        tan_neg = jnp.max(
+            jnp.where((act > 0.0) & ~pos_side, tan_n, 0.0), axis=1)
     return TileCones(apex, axis, cos_half, cos_lo, t_min, max_len, margin,
                      any_active, o_off_lo, o_off_hi, eps_max,
-                     ax_lo, ax_hi, tan_conv)
+                     ax_lo, ax_hi, tan_conv, tan_neg)
 
 
 class CandSelect(NamedTuple):
@@ -561,13 +570,13 @@ def _cand_mask(bounds: Array, cones: TileCones,
         ml)
     wedge_ok = near | (p <= r + sin_half[:, None] * t_reach)
     if converging:
-        # per-tile select: tiles whose origins straddle the apex carry the
-        # tan_conv = -1 sentinel (see _tile_cones) and use the wedge/ball
-        # test — their margin already carries rho, so wedge_ok is sound
-        reach = jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None]
-        conv_ok = near | (p <= r + reach)
-        lateral_ok = jnp.where(cones.tan_conv[:, None] >= 0.0,
-                               conv_ok, wedge_ok)
+        # two-sided converging envelope (see _tile_cones): a candidate
+        # spanning α ∈ [a−r, a+r] can reach lateral
+        # max(max(a+r,0)·tan_conv, max(r−a,0)·tan_neg)
+        reach = jnp.maximum(
+            jnp.maximum(a + r, 0.0) * cones.tan_conv[:, None],
+            jnp.maximum(r - a, 0.0) * cones.tan_neg[:, None])
+        lateral_ok = near | (p <= r + reach)
     else:
         lateral_ok = wedge_ok
     return lateral_ok \
