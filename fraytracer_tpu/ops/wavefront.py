@@ -415,7 +415,8 @@ def render_spectral_with_stats(scene: FlatScene, camera, width: int,
     C = B * npix
     from .pallas.gather import BLOCK, flat_block_gather
     if cfg.march.backend == "pallas" and C % BLOCK == 0:
-        blockk = jnp.min(klass.reshape(-1, BLOCK), axis=1)
+        # same density-based overflow policy as _bounce (advisor r4 low)
+        blockk = block_compact_key(klass, BLOCK)
         keep = jnp.argsort(blockk, stable=True)[:C // BLOCK] \
             .astype(jnp.int32)
 
