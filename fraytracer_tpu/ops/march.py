@@ -107,11 +107,12 @@ class MarchConfig:
     # Running-min early-out inside the candidate window scan (the
     # reference's sorted nearest-first stop, SdfBoundary.fs:266-268).
     # Exact either way (it only skips chunks that provably cannot change
-    # the group min).  Measured on v5e at the benchmark: OFF is ~9% faster
-    # per frame — the per-chunk-iteration scalar sync (SMEM suffix-min
-    # read + cross-lane running-max) costs more than the chunk evals it
-    # saves at today's window widths.  Keep available for wider-window
-    # scenes.
+    # the group min).  Measured on v5e at the benchmark: OFF is faster —
+    # round 4 (per-chunk sync) by ~9%, round 5 (EO_STRIDE=2 amortized
+    # sync, march_kernel.EO_STRIDE) still by ~4.5% (41.9 vs 40.0 ms
+    # frame): at today's window widths (~29 candidates ≈ 3.6 chunks per
+    # step) there is simply not enough scan to cut.  Keep available for
+    # wider-window scenes.
     cull_early_out: bool = False
     # Backward-pass candidate sizing (implicit-diff VJP, point_eval): the
     # gradient only needs the scene SDF's local argmin neighborhood at

@@ -291,3 +291,30 @@ def test_tiled_leaf_backward_matches_perlane_signed():
         b = np.asarray(g_lane.prim_params[k])
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() / scale < 1e-5, (k, np.abs(a - b).max())
+
+
+def test_clamped_lane_fraction_bounded_on_benchmark():
+    """VERDICT r4 #6: the silhouette-gradient clamp (min_denom=0.05)
+    biases only grazing lanes — on the benchmark-style scene that is a
+    small sliver of hits (measured 0.44% at 128²/100 tori; bounded at 2%
+    here so a geometry/clamp regression trips)."""
+    import jax
+    import jax.numpy as jnp
+    from fraytracer_tpu import camera as cam
+    from fraytracer_tpu.ops import sdf
+    from fraytracer_tpu.ops.march import MarchConfig, march
+    from fraytracer_tpu.types import dot
+    from fraytracer_tpu.scene.generators import torus_csg_scene
+    scene = ft.flatten(torus_csg_scene(seed=19, n_tori=100))
+    camera = ft.look_at((0, 0, -10), (0, 0, 0), fov_degrees=60.0)
+    cfg = MarchConfig(max_steps=192, backend="jnp")
+    rays = cam.camera_rays(camera, 128, 128, 0.01, 30.0)
+    rays = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+    res = march(scene, rays, cfg)
+    x0 = rays.at(res.t)
+    g = jax.grad(lambda q: jnp.sum(sdf.scene_distance(scene, q)))(x0)
+    den = np.abs(np.asarray(dot(g, rays.direction)))
+    h = np.asarray(res.hit)
+    assert h.sum() > 1000, "sanity"
+    frac = ((den < cfg.min_denom) & h).sum() / h.sum()
+    assert frac < 0.02, frac

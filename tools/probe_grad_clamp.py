@@ -44,35 +44,62 @@ TORI = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
 def clamp_stats(scene, camera, cfg, size):
     """(frac hit lanes clamped, frac gradient mass on clamped lanes)."""
-    rays = cam.camera_rays(camera, size, size, 0.01, 30.0)
-    res = march(scene, rays, cfg)
-    hit = res.hit
 
-    # denom at the hit points (same formula as _implicit_t_denom, dense)
-    x0 = rays.at(res.t)
-    g = jax.grad(lambda q: jnp.sum(sdf.scene_distance(scene, q)))(x0)
-    denom_raw = jnp.abs(dot(g, rays.direction))
-    clamped = hit & (denom_raw < cfg.min_denom)
-    frac_lanes = float(jnp.sum(clamped) / jnp.maximum(jnp.sum(hit), 1))
+    @jax.jit
+    def run(scene):
+        rays = cam.camera_rays(camera, size, size, 0.01, 30.0)
+        rays = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), rays)
+        res = march(scene, rays, cfg)
+        hit = res.hit
+        x0 = rays.at(res.t)
 
-    # per-lane |dL/dt| for the bench loss L = Σ image², via a zero offset
-    # injected into t ahead of the (recomputed, jnp-path) shading
-    def loss_of_delta(delta):
-        t = jax.lax.stop_gradient(res.t) + delta
-        pos = rays.at(t - rays.epsilon)
-        nrm = sdf.scene_normal(scene, pos)
-        midx, albedo = sdf.material_at(scene, pos)
-        sh = SurfaceHit(hit=hit, position=pos, normal=nrm, color=albedo,
-                        material=jnp.where(hit, midx, -1), t=t)
-        img = shade.shade(scene, rays, sh, cfg)
-        return jnp.sum(img ** 2)
+        # denom at the hit points (same formula as _implicit_t_denom),
+        # chunked so the dense [chunk, K] matrices stay bounded
+        def denom_chunk(args):
+            q, d = args
+            g = jax.grad(
+                lambda qq: jnp.sum(sdf.scene_distance(scene, qq)))(q)
+            return jnp.abs(dot(g, d))
 
-    ct_t = jax.grad(loss_of_delta)(jnp.zeros_like(res.t))
-    mass = jnp.abs(ct_t) / jnp.maximum(denom_raw, cfg.min_denom)
-    mass = jnp.where(hit, mass, 0.0)
-    frac_mass = float(jnp.sum(jnp.where(clamped, mass, 0.0))
-                      / jnp.maximum(jnp.sum(mass), 1e-20))
-    return frac_lanes, frac_mass
+        ch = 16384
+        n = x0.shape[0]
+        denom_raw = jax.lax.map(
+            denom_chunk, (x0.reshape(-1, ch, 3),
+                          rays.direction.reshape(-1, ch, 3))).reshape(n)
+        clamped = hit & (denom_raw < cfg.min_denom)
+        frac_lanes = jnp.sum(clamped) / jnp.maximum(jnp.sum(hit), 1)
+
+        # per-lane |dL/dt| for the bench loss L = Σ image², via a zero
+        # offset injected into t ahead of the recomputed shading
+        def loss_of_delta(delta):
+            t = jax.lax.stop_gradient(res.t) + delta
+
+            def shade_chunk(args):
+                rr, tt, hh = args
+                pos = rr.at(tt - rr.epsilon)
+                nrm = sdf.scene_normal(scene, pos)
+                midx, albedo = sdf.material_at(scene, pos)
+                sh = SurfaceHit(hit=hh, position=pos, normal=nrm,
+                                color=albedo,
+                                material=jnp.where(hh, midx, -1), t=tt)
+                return shade.shade(scene, rr, sh, cfg)
+
+            chunked = (jax.tree.map(lambda x: x.reshape((-1, ch)
+                                    + x.shape[1:]), rays),
+                       t.reshape(-1, ch), hit.reshape(-1, ch))
+            img = jax.lax.map(jax.checkpoint(shade_chunk), chunked)
+            return jnp.sum(img ** 2)
+
+        ct_t = jax.grad(loss_of_delta)(jnp.zeros_like(res.t))
+        mass = jnp.abs(ct_t) / jnp.maximum(denom_raw, cfg.min_denom)
+        mass = jnp.where(hit, mass, 0.0)
+        frac_mass = (jnp.sum(jnp.where(clamped, mass, 0.0))
+                     / jnp.maximum(jnp.sum(mass), 1e-20))
+        return frac_lanes, frac_mass
+
+    fl, fm = run(scene)
+    return float(fl), float(fm)
 
 
 def scene_grad(scene, camera, cfg, size):
