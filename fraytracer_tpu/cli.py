@@ -40,10 +40,13 @@ def cmd_render(args) -> int:
     scene = ft.flatten(_scene_by_name(args.scene, args.seed, args.tori))
     camera = ft.look_at(tuple(args.camera), tuple(args.target),
                         fov_degrees=args.fov)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     cfg = ft.RenderConfig(width=args.size, height=args.size,
                           epsilon=args.epsilon, length=args.length,
                           gamma=args.gamma,
-                          march=MarchConfig(max_steps=args.max_steps))
+                          march=MarchConfig(max_steps=args.max_steps,
+                                            backend=backend,
+                                            relax_omega=1.4))
     print("Rendering...", flush=True)
     t0 = time.perf_counter()
     img = ft.render(scene, camera, cfg)
@@ -67,9 +70,12 @@ def cmd_spectral(args) -> int:
     scene = ft.flatten(_scene_by_name(args.scene, args.seed, args.tori))
     camera = ft.look_at(tuple(args.camera), tuple(args.target),
                         fov_degrees=args.fov)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     cfg = WavefrontConfig(depth=args.depth, epsilon=args.epsilon,
                           length=args.length,
-                          march=MarchConfig(max_steps=args.max_steps))
+                          march=MarchConfig(max_steps=args.max_steps,
+                                            backend=backend,
+                                            relax_omega=1.4))
     print(f"Spectral rendering (depth {args.depth}, "
           f"{cfg.num_bins} bins)...", flush=True)
     t0 = time.perf_counter()
