@@ -75,7 +75,13 @@ class MarchConfig:
     # occlusion when taken (measured at m=256), so keep ~25% headroom
     # above the largest observed count.
     cull_m_shadow: int = 512
-    cull_threshold: int = 192   # min group size worth culling
+    # Minimum same-kind group size worth cone-culling.  Round-5 measured
+    # at 1024²: a 100-torus scene renders 207 ms on the dense chunk sweep
+    # (old default 192 left it unculled) vs 19.2 ms culled at threshold
+    # 64 — windows pay for themselves far below the old cutoff; 32 ≈ 64.
+    # Below ~48 the dense scalar/chunk paths win (table prep per march
+    # outweighs the short window scans).
+    cull_threshold: int = 48
     # Over-relaxed sphere tracing (pallas backend): step by omega·d with a
     # sound fallback — when the relaxed step leaves the union of the two
     # safety spheres (step > d_prev + d), revert to the conservative
@@ -776,7 +782,7 @@ def _march_surf_bwd(cfg, residuals, ct):
     are identical to the unfused (march → point_eval normal) chain without
     re-running the kernel.  For min/max-only CSG the local scene distance
     is the kernel-reported winning leaf — selected per lane by the MXU
-    one-hot tile table (``_leaf_scene_d_tiled``) when the batch tiles and
+    one-hot tile tables (``_surf_bwd_tail_tiled``) when the batch tiles and
     every tile's distinct winners fit the table (certified by ``ok``,
     checked at runtime via lax.cond), else the per-lane row read
     (``_leaf_scene_d``)."""

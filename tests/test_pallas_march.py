@@ -31,8 +31,21 @@ def assert_parity(scene, rays, atol=2e-6):
 
 
 def test_parity_torus_csg():
+    # 48 tori ≥ the round-5 default cull_threshold (48): the kernel path
+    # is now the CULLED march, whose window caps change the step sequence
+    # — hits stay exactly equal (assert_parity checks that), hit t lands
+    # within the epsilon shell (eps=0.01) rather than bit-equal
     scene = ft.flatten(torus_csg_scene(seed=19, n_tori=48))
-    assert_parity(scene, flat_camera_rays(32, 32))
+    assert_parity(scene, flat_camera_rays(32, 32), atol=1e-3)
+    # and bit-tight parity on the same scene with culling off
+    r_jnp = march(scene, flat_camera_rays(32, 32), JNP)
+    import dataclasses as dc
+    r_pal = march(scene, flat_camera_rays(32, 32),
+                  dc.replace(PAL, cull=False))
+    hits = np.asarray(r_jnp.hit)
+    np.testing.assert_array_equal(hits, np.asarray(r_pal.hit))
+    np.testing.assert_allclose(np.asarray(r_pal.t)[hits],
+                               np.asarray(r_jnp.t)[hits], atol=2e-6)
 
 
 def test_parity_all_primitive_kinds():
